@@ -1,0 +1,482 @@
+"""The TPU-native SLIC pipeline: one fused XLA graph per configuration.
+
+Design (vs the reference, ``/root/reference/src/context.cpp:109-197``):
+
+* The reference's *scatter*-style assignment (each cluster writes its +-S
+  window, with a 4-phase checkerboard to avoid write races,
+  context.cpp:214-242) is inverted into a *gather*-style argmin: clusters are
+  bucketed into S-sized cells, every pixel considers the <= 9*P candidate
+  clusters from the 3x3 neighborhood of its cell, and takes a masked argmin.
+  No write conflicts exist by construction, which is what makes the kernel
+  trivially data-parallel on a TPU (and over a device mesh).
+* ``update`` (thread-local K-bin histograms merged under a critical section,
+  context.cpp:302-387) becomes a segment-sum.
+* The whole ``iterate`` — CIELAB conversion, max_iter x (assign, update),
+  full_assign, connectivity enforcement — is traced into a single jit
+  program; nothing round-trips to the host between phases.
+
+Tie-breaking: smallest distance wins, ties to the smallest cluster number
+(deterministic; see oracle/numpy_ref.py for why this deviates from the
+reference's visit-order rule).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cluster import Clusters
+from .config import (
+    StaticConfig,
+    UNASSIGNED,
+    VARIANT_STANDARD,
+    VARIANT_REAL,
+    VARIANT_REAL_L2,
+    VARIANT_REAL_NOQ,
+    VARIANT_LSC,
+)
+from .ops.cielab import rgb_to_lab_quantized
+from .ops.cca import enforce_connectivity_xla
+from .ops import lsc as lsc_ops
+
+_U32_MAX = jnp.uint32(0xFFFFFFFF)
+_F32_MAX = jnp.float32(np.finfo(np.float32).max)
+
+
+def cell_grid_shape(cfg: StaticConfig):
+    S = cfg.S
+    return -(-cfg.H // S), -(-cfg.W // S)
+
+
+def build_candidates(y, x, is_active, cfg: StaticConfig):
+    """Bucket clusters into S-cells and build per-cell candidate lists.
+
+    Returns int32 [GH, GW, 9*P] of cluster ids (-1 = empty slot): the 3x3
+    cell neighborhood, P clusters per cell.  Any cluster whose center is
+    within +-S of a pixel in cell (ci, cj) lies in that neighborhood, which
+    is the same locality fact the reference's checkerboard partition exploits
+    (cell size 2S+32, context.cpp:214-221), used gather-side here.
+
+    Bucketing is deterministic: clusters are stably sorted by cell id, so
+    slot order within a cell is ascending cluster number; overflow beyond P
+    is dropped (seeding gives ~1 cluster/cell, P=cell_capacity is headroom).
+    """
+    GH, GW = cell_grid_shape(cfg)
+    S, K, P = cfg.S, cfg.K, cfg.cell_capacity
+    num_cells = GH * GW
+
+    ci = jnp.clip(y.astype(jnp.int32) // S, 0, GH - 1)
+    cj = jnp.clip(x.astype(jnp.int32) // S, 0, GW - 1)
+    cell = ci * GW + cj
+    cell = jnp.where(is_active != 0, cell, num_cells)  # inactive -> sentinel
+
+    order = jnp.argsort(cell, stable=True).astype(jnp.int32)
+    sc = cell[order]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones([1], bool), sc[1:] != sc[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+    target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
+    buckets = jnp.full([num_cells * P + 1], -1, jnp.int32).at[target].set(order)
+    buckets = buckets[:-1].reshape(GH, GW, P)
+
+    padded = jnp.full([GH + 2, GW + 2, P], -1, jnp.int32)
+    padded = padded.at[1:-1, 1:-1, :].set(buckets)
+    neigh = [
+        padded[1 + di : 1 + di + GH, 1 + dj : 1 + dj + GW, :]
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ]
+    return jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
+
+
+def _expand_cells(a, cfg: StaticConfig):
+    """[GH, GW, ...] -> per-pixel [H, W, ...] by repeating each cell S times."""
+    S = cfg.S
+    a = jnp.repeat(a, S, axis=0)[: cfg.H]
+    a = jnp.repeat(a, S, axis=1)[:, : cfg.W]
+    return a
+
+
+class AssignResult(NamedTuple):
+    assignment: jnp.ndarray  # int32 [H, W], UNASSIGNED where unset
+    min_dists: jnp.ndarray   # DistType [H, W] (reset each pass, recorder only)
+
+
+def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
+               old_assignment, color_shift, rem, stride,
+               lsc_feats=None, lsc_cent=None) -> AssignResult:
+    """One assign() pass over all pixels (context.cpp:200-298 and variants).
+
+    planes: int32 [H, W, 3] quad image.  cand: [GH, GW, 9P] candidate ids.
+    rem/stride are static ints; rows with i % stride != rem keep their old
+    assignment (context.h:89-91).
+    """
+    H, W, S, K = cfg.H, cfg.W, cfg.S, cfg.K
+    variant = cfg.variant
+    nslots = cand.shape[-1]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    # float op order matches the reference exactly (context.cpp:24-25):
+    # coef = 1/(S/compactness), then scaled by the exact power of two.
+    coef = (jnp.float32(1.0) / (jnp.float32(S) / compactness.astype(jnp.float32))
+            ) * jnp.float32(1 << color_shift)
+
+    # Candidate table: per-cluster [y, x, r, g, b] (+10 LSC features).
+    table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)  # [K, 5] f32
+
+    quantized = variant == VARIANT_STANDARD
+
+    def slot_data(s):
+        ids = _expand_cells(cand[:, :, s], cfg)          # [H, W] int32
+        valid = ids >= 0
+        safe = jnp.where(valid, ids, 0)
+        c = table[safe]                                   # [H, W, 5]
+        return ids, valid, safe, c
+
+    def window_and_spatial(c, valid):
+        """Window mask + spatial distance for patch-LUT variants
+        (set_spatial_patch, context.cpp:23-40 / 435-445)."""
+        cy = c[..., 0].astype(jnp.int32)   # int16 casts, context.cpp:266
+        cx = c[..., 1].astype(jnp.int32)
+        di = ii - cy
+        dj = jj - cx
+        inwin = valid & (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+        if variant == VARIANT_REAL_L2:
+            fy = coef * di.astype(jnp.float32)
+            fx = coef * dj.astype(jnp.float32)
+            sp = fy * fy + fx * fx
+        elif cfg.manhattan_spatial_dist:
+            sp = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
+        else:
+            dif = di.astype(jnp.float32)
+            djf = dj.astype(jnp.float32)
+            sp = coef * jnp.sqrt(dif * dif + djf * djf)
+        return inwin, sp
+
+    p0 = planes[..., 0]
+    p1 = planes[..., 1]
+    p2 = planes[..., 2]
+
+    if quantized:
+        def body(s, m):
+            ids, valid, _, c = slot_data(s)
+            inwin, sp = window_and_spatial(c, valid)
+            sp_q = jnp.trunc(sp).astype(jnp.int32)  # (uint16) cast of the LUT
+            cd = (jnp.abs(p0 - c[..., 2].astype(jnp.int32))
+                  + jnp.abs(p1 - c[..., 3].astype(jnp.int32))
+                  + jnp.abs(p2 - c[..., 4].astype(jnp.int32)))
+            dist = (sp_q + cd).astype(jnp.uint32)
+            packed = (dist << 16) | ids.astype(jnp.uint32)
+            return jnp.minimum(m, jnp.where(inwin, packed, _U32_MAX))
+
+        m = jnp.full([H, W], _U32_MAX, jnp.uint32)
+        m = jax.lax.fori_loop(0, nslots, body, m)
+        got = m != _U32_MAX
+        new_assign = (m & 0xFFFF).astype(jnp.int32)
+        new_dist = (m >> 16).astype(jnp.int32)
+        min_dists_reset = jnp.int32(0xFFFF)
+    else:
+        def body(s, carry):
+            md, ma = carry
+            ids, valid, safe, c = slot_data(s)
+            if variant == VARIANT_LSC:
+                cy = c[..., 0].astype(jnp.int32)
+                cx = c[..., 1].astype(jnp.int32)
+                inwin = valid & (jnp.abs(ii - cy) <= S) & (jnp.abs(jj - cx) <= S)
+                cf = lsc_cent[safe]                      # [H, W, 10]
+                diff = lsc_feats - cf
+                dist = jnp.sum(diff * diff, axis=-1)
+            elif variant == VARIANT_REAL_NOQ:
+                cy = c[..., 0]
+                cx = c[..., 1]
+                # trunc-toward-zero bounds (context.cpp:471-472)
+                y_lo = jnp.maximum(jnp.trunc(cy - S).astype(jnp.int32), 0)
+                y_hi = jnp.minimum(jnp.trunc(cy + S + 1).astype(jnp.int32), H)
+                x_lo = jnp.maximum(jnp.trunc(cx - S).astype(jnp.int32), 0)
+                x_hi = jnp.minimum(jnp.trunc(cx + S + 1).astype(jnp.int32), W)
+                inwin = valid & (ii >= y_lo) & (ii < y_hi) & (jj >= x_lo) & (jj < x_hi)
+                dr = p0.astype(jnp.float32) - c[..., 2]
+                dg = p1.astype(jnp.float32) - c[..., 3]
+                db = p2.astype(jnp.float32) - c[..., 4]
+                dy = coef * (ii.astype(jnp.float32) - cy)
+                dx = coef * (jj.astype(jnp.float32) - cx)
+                if cfg.manhattan_spatial_dist:
+                    dist = (jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)
+                            + jnp.abs(dx) + jnp.abs(dy))
+                else:
+                    dist = dr * dr + dg * dg + db * db + dx * dx + dy * dy
+            else:  # real / real_l2: int-cast centers, patch spatial
+                inwin, sp = window_and_spatial(c, valid)
+                cr = c[..., 2].astype(jnp.int32)
+                cg = c[..., 3].astype(jnp.int32)
+                cb = c[..., 4].astype(jnp.int32)
+                if variant == VARIANT_REAL_L2:
+                    dr = (p0 - cr).astype(jnp.float32)
+                    dg = (p1 - cg).astype(jnp.float32)
+                    db = (p2 - cb).astype(jnp.float32)
+                    dist = sp + dr * dr + dg * dg + db * db
+                else:
+                    cd = (jnp.abs(p0 - cr) + jnp.abs(p1 - cg)
+                          + jnp.abs(p2 - cb)).astype(jnp.float32)
+                    dist = sp + cd
+
+            dist = jnp.where(inwin, dist, _F32_MAX)
+            better = (dist < md) | ((dist == md) & (ids < ma) & inwin)
+            return (jnp.where(better, dist, md), jnp.where(better, ids, ma))
+
+        md = jnp.full([H, W], _F32_MAX, jnp.float32)
+        ma = jnp.full([H, W], UNASSIGNED, jnp.int32)
+        md, ma = jax.lax.fori_loop(0, nslots, body, (md, ma))
+        got = md != _F32_MAX
+        new_assign = ma
+        new_dist = md
+        min_dists_reset = _F32_MAX
+
+    rowmask = (ii % stride) == rem
+    write = rowmask & got
+    assignment = jnp.where(write, new_assign, old_assignment)
+    min_dists = jnp.where(write, new_dist, min_dists_reset)
+    return AssignResult(assignment, min_dists)
+
+
+def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
+               rem, stride, pixel_mask=None) -> Clusters:
+    """update(): masked segment-sum of [1, i, j, r, g, b] per cluster, then
+    (round_int-)means for updatable clusters (context.cpp:302-387)."""
+    H, W, K = cfg.H, cfg.W, cfg.K
+    quantized = cfg.variant != VARIANT_REAL_NOQ
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    mask = ((ii % stride) == rem) & (assignment != UNASSIGNED)
+    if pixel_mask is not None:
+        mask = mask & pixel_mask
+    ids = jnp.where(mask, assignment, K).ravel()
+
+    vals = jnp.stack(
+        [jnp.ones_like(ii), ii, jj, planes[..., 0], planes[..., 1], planes[..., 2]],
+        axis=-1,
+    ).reshape(-1, 6)
+    acc = jnp.zeros([K + 1, 6], jnp.int32).at[ids].add(vals)[:K]
+    counts = acc[:, 0]
+    sums = acc[:, 1:]
+
+    upd = st.is_updatable != 0
+    num_members = jnp.where(upd, counts.astype(jnp.uint32), st.num_members)
+    safe = jnp.maximum(counts, 1)
+    if quantized:
+        means = ((sums + (safe // 2)[:, None]) // safe[:, None]).astype(jnp.float32)
+    else:
+        means = sums.astype(jnp.float32) / safe[:, None].astype(jnp.float32)
+    sel = upd & (counts > 0)
+    return Clusters(
+        y=jnp.where(sel, means[:, 0], st.y),
+        x=jnp.where(sel, means[:, 1], st.x),
+        r=jnp.where(sel, means[:, 2], st.r),
+        g=jnp.where(sel, means[:, 3], st.g),
+        b=jnp.where(sel, means[:, 4], st.b),
+        num_members=num_members,
+        is_active=st.is_active,
+        is_updatable=st.is_updatable,
+    )
+
+
+def _clamp_centers(st: Clusters, cfg: StaticConfig) -> Clusters:
+    """Safeguard clamp at the top of assign() (context.cpp:209-212)."""
+    return Clusters(
+        y=jnp.clip(st.y, 0.0, cfg.H - 1),
+        x=jnp.clip(st.x, 0.0, cfg.W - 1),
+        r=st.r, g=st.g, b=st.b,
+        num_members=st.num_members,
+        is_active=st.is_active,
+        is_updatable=st.is_updatable,
+    )
+
+
+_PREEMPTIVE_COOLDOWN = 2  # preemptive.h:32
+
+
+def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
+                     preemptive_thres):
+    """PreemptiveGrid::set_new_clusters (preemptive.h:114-178).
+
+    Decrements the per-cluster cooldown when the center moved less than
+    max(round(2*S*thres), 1) in L1, re-activates every cluster within L-inf
+    2S of a still-updatable cluster, and returns the active-pixel mask (the
+    2S-cell grid of preemptive.h expanded to pixels).
+
+    Uses a K x K pairwise test instead of the reference's cell buckets —
+    exact same predicate (the 3x3 cell walk is just a pruning of the
+    |dy|<=2S && |dx|<=2S check, preemptive.h:150-164).  O(K^2) but K is a
+    few thousand in practice.
+    """
+    S = cfg.S
+    l1_thres = jnp.maximum(
+        jnp.round(jnp.float32(2 * S) * preemptive_thres.astype(jnp.float32)),
+        1.0,
+    )
+    upd = st.is_updatable > 0
+    moved = jnp.abs(old_x - st.x) + jnp.abs(old_y - st.y)
+    new_updatable = jnp.where(
+        upd,
+        jnp.where(moved < l1_thres, st.is_updatable - 1, _PREEMPTIVE_COOLDOWN),
+        st.is_updatable,
+    )
+    upd2 = new_updatable > 0
+    dy = jnp.abs(st.y[:, None] - st.y[None, :])
+    dx = jnp.abs(st.x[:, None] - st.x[None, :])
+    near = (dy <= 2 * S) & (dx <= 2 * S)          # [k, n]
+    is_active = jnp.any(near & upd2[:, None], axis=0).astype(jnp.int32)
+    all_active = jnp.all(is_active == 1)
+
+    # active 2S-cell grid -> pixel mask
+    CH = -(-cfg.H // (2 * S))
+    CW = -(-cfg.W // (2 * S))
+    cy = jnp.clip(st.y.astype(jnp.int32) // (2 * S), 0, CH - 1)
+    cx = jnp.clip(st.x.astype(jnp.int32) // (2 * S), 0, CW - 1)
+    cell = cy * CW + cx
+    grid = jnp.zeros([CH * CW], jnp.int32).at[cell].max(is_active)
+    grid = grid.reshape(CH, CW) > 0
+    px = jnp.repeat(jnp.repeat(grid, 2 * S, 0)[: cfg.H], 2 * S, 1)[:, : cfg.W]
+    px = px | all_active
+
+    st = Clusters(
+        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
+        num_members=st.num_members,
+        is_active=is_active,
+        is_updatable=new_updatable,
+    )
+    return st, px
+
+
+def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
+                  min_size_factor, preemptive_thres, max_iter: int,
+                  stride: int):
+    """The full iterate() pipeline as one traceable function.
+
+    image: uint8 [H, W, 3].  Returns (labels int32 [H, W] with -1 for
+    unassigned, final Clusters, min_dists of the last full assign, and — when
+    cfg.debug_mode — stacked per-iteration recorder snapshots).
+    """
+    H, W, S, K = cfg.H, cfg.W, cfg.S, cfg.K
+    compactness = jnp.asarray(compactness, jnp.float32)
+    preemptive_thres = jnp.asarray(preemptive_thres, jnp.float32)
+
+    if cfg.convert_to_lab:
+        planes = rgb_to_lab_quantized(image)
+        color_shift = 1
+    else:
+        planes = image.astype(jnp.int32)
+        color_shift = 0
+
+    # re-seed cluster colors from the quad image (context.cpp:128-135)
+    cyi = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
+    cxi = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
+    st = Clusters(
+        y=st.y, x=st.x,
+        r=planes[cyi, cxi, 0].astype(jnp.float32),
+        g=planes[cyi, cxi, 1].astype(jnp.float32),
+        b=planes[cyi, cxi, 2].astype(jnp.float32),
+        num_members=st.num_members,
+        is_active=st.is_active,
+        is_updatable=st.is_updatable,
+    )
+
+    lsc_feats = lsc_cent = lsc_w = None
+    if cfg.variant == VARIANT_LSC:
+        lsc_feats, lsc_w = lsc_ops.features(planes, cfg, compactness)
+        lsc_cent = lsc_ops.seed_centroids(lsc_feats, st, cfg)
+
+    # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
+    # `preemptive` flag — is_updatable is reset to the cooldown for everyone.
+    st = Clusters(
+        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
+        num_members=st.num_members, is_active=st.is_active,
+        is_updatable=jnp.full([K], _PREEMPTIVE_COOLDOWN, jnp.int32),
+    )
+    pixel_mask = jnp.ones([H, W], bool)
+
+    assignment = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    dist_reset = 0xFFFF if cfg.variant == VARIANT_STANDARD else _F32_MAX
+    dist_dtype = jnp.int32 if cfg.variant == VARIANT_STANDARD else jnp.float32
+    min_dists = jnp.full([H, W], dist_reset, dist_dtype)
+
+    snaps = None
+    if cfg.debug_mode:
+        snaps = {"iter": [-1], "assignment": [assignment],
+                 "min_dists": [min_dists], "clusters": [st]}
+
+    rem = 0
+    for _ in range(max_iter):
+        st = _clamp_centers(st, cfg)
+        cand = build_candidates(st.y, st.x, st.is_active, cfg)
+        res = assign_xla(planes, st, cand, cfg, compactness, assignment,
+                         color_shift, rem, stride, lsc_feats, lsc_cent)
+        assignment, min_dists = res
+        old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
+        st = update_xla(planes, assignment, st, cfg, rem, stride,
+                        pixel_mask if cfg.preemptive else None)
+        if cfg.variant == VARIANT_LSC:
+            lsc_cent = lsc_ops.after_update(
+                lsc_feats, lsc_w, st, lsc_cent, cfg, rem, stride, assignment,
+                pixel_mask if cfg.preemptive else None)
+        if cfg.preemptive:
+            st, pixel_mask = _preemptive_step(st, old_y, old_x, cfg,
+                                              preemptive_thres)
+        if cfg.debug_mode:
+            snaps["iter"].append(len(snaps["iter"]) - 1)
+            snaps["assignment"].append(assignment)
+            snaps["min_dists"].append(min_dists)
+            snaps["clusters"].append(st)
+        rem = (rem + 1) % stride
+
+    # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
+    st = Clusters(
+        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
+        num_members=st.num_members,
+        is_active=jnp.ones([K], jnp.int32),
+        is_updatable=st.is_updatable,
+    )
+
+    # full_assign (context.cpp:179-181): stride 1, rem 0
+    st = _clamp_centers(st, cfg)
+    cand = build_candidates(st.y, st.x, st.is_active, cfg)
+    res = assign_xla(planes, st, cand, cfg, compactness, assignment,
+                     color_shift, 0, 1, lsc_feats, lsc_cent)
+    assignment, min_dists = res
+
+    # enforce_connectivity (context.cpp:15-20): thres = round(S^2 * msf)
+    thres = jnp.floor(
+        jnp.float32(S * S) * jnp.asarray(min_size_factor, jnp.float32) + 0.5
+    ).astype(jnp.int32)
+    labels = enforce_connectivity_xla(assignment, K, thres)
+    labels = jnp.where(labels == UNASSIGNED, -1, labels)
+
+    snaps_out = None
+    if cfg.debug_mode:
+        snaps_out = (
+            tuple(snaps["iter"]),
+            jnp.stack(snaps["assignment"]),
+            jnp.stack(snaps["min_dists"]),
+            jax.tree.map(lambda *xs: jnp.stack(xs), *snaps["clusters"]),
+        )
+    return labels, st, min_dists, snaps_out
+
+
+@functools.lru_cache(maxsize=128)
+def compiled_iterate(cfg: StaticConfig, max_iter: int, stride: int):
+    """jit-compiled iterate for a given static configuration."""
+
+    def fn(image, clusters, compactness, min_size_factor, preemptive_thres):
+        return iterate_graph(image, clusters, cfg, compactness,
+                             min_size_factor, preemptive_thres, max_iter,
+                             stride)
+
+    return jax.jit(fn)

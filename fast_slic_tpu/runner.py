@@ -1,0 +1,64 @@
+"""Host-side execution of the compiled pipeline (the "binding layer").
+
+Plays the role of the reference's Cython glue (cfast_slic.pyx:150-260):
+marshals numpy in/out, invokes the jitted program, converts the label map
+to int16 with -1 for unassigned, and attaches timing / recorder reports.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+from . import pipeline
+from .cluster import Clusters
+from .config import RuntimeParams, StaticConfig, UNASSIGNED
+from .utils.timing import Timer
+from .utils import recorder as recorder_lib
+
+
+class Report(NamedTuple):
+    timing_json: str
+    recorder_json: str
+
+
+def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
+                params: RuntimeParams):
+    """Execute iterate(); returns (labels int16 np [H,W], Clusters, Report)."""
+    timer = Timer()
+    recorder_json = ""
+    with timer.scope("iterate"):
+        with timer.scope("compile"):
+            fn = pipeline.compiled_iterate(
+                cfg, params.max_iter, params.subsample_stride)
+        with timer.scope("execute"):
+            out = fn(
+                image,
+                jax.tree.map(jax.numpy.asarray, clusters),
+                np.float32(params.compactness),
+                np.float32(params.min_size_factor),
+                np.float32(params.preemptive_thres),
+            )
+            out = jax.block_until_ready(out)
+        with timer.scope("write_back"):
+            labels_dev, st_dev, min_dists, snaps = out
+            labels = np.asarray(labels_dev).astype(np.int16)
+            final = Clusters(*(np.asarray(f) for f in (
+                st_dev.y, st_dev.x, st_dev.r, st_dev.g, st_dev.b,
+                st_dev.num_members, st_dev.is_active, st_dev.is_updatable)))
+        if cfg.debug_mode and snaps is not None:
+            with timer.scope("recorder"):
+                iters, s_assign, s_dists, s_clusters = snaps
+                clusters_seq = [
+                    Clusters(*(np.asarray(f)[t] for f in (
+                        s_clusters.y, s_clusters.x, s_clusters.r,
+                        s_clusters.g, s_clusters.b, s_clusters.num_members,
+                        s_clusters.is_active, s_clusters.is_updatable)))
+                    for t in range(len(iters))
+                ]
+                recorder_json = recorder_lib.render_report(
+                    cfg.H, cfg.W, list(iters),
+                    np.asarray(s_assign), np.asarray(s_dists), clusters_seq)
+    return labels, final, Report(timer.report(), recorder_json)

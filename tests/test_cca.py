@@ -1,0 +1,94 @@
+"""Connectivity enforcement: XLA label propagation vs union-find oracle.
+
+The two implementations share no code; equality here validates the whole
+chain (component leaders, leader-order numbering, area threshold, top-K,
+orphan adoption) including adversarial patterns.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fast_slic_tpu.ops.cca import enforce_connectivity_xla, connected_components
+from fast_slic_tpu.oracle.numpy_ref import enforce_connectivity_np
+from fast_slic_tpu.config import UNASSIGNED
+
+
+def run_both(labels, K, thres):
+    ours = np.asarray(
+        enforce_connectivity_xla(jnp.asarray(labels.astype(np.int32)), K,
+                                 jnp.int32(thres)))
+    ref = enforce_connectivity_np(labels.astype(np.uint16), K, thres)
+    return ours, ref.astype(np.int64)
+
+
+@pytest.mark.parametrize("thres", [0, 3, 25])
+def test_random_labels(rng, thres):
+    labels = rng.integers(0, 6, size=(24, 31)).astype(np.uint16)
+    ours, ref = run_both(labels, 6, thres)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_with_unassigned(rng):
+    labels = rng.integers(0, 5, size=(20, 20)).astype(np.uint16)
+    labels[labels == 4] = UNASSIGNED
+    ours, ref = run_both(labels, 5, 4)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_spiral_worst_case():
+    # single-label spiral: a long snaking component stresses propagation
+    H = W = 33
+    labels = np.ones([H, W], np.uint16)
+    # carve a spiral of label 0 into a field of label 1
+    y, x = 0, 0
+    dy, dx = 0, 1
+    seen = np.zeros([H, W], bool)
+    for _ in range(H * W):
+        labels[y, x] = 0
+        seen[y, x] = True
+        ny, nx = y + 2 * dy, x + 2 * dx
+        if not (0 <= ny < H and 0 <= nx < W) or seen[ny, nx]:
+            dy, dx = dx, -dy
+        if 0 <= y + dy < H and 0 <= x + dx < W and not seen[y + dy, x + dx]:
+            y, x = y + dy, x + dx
+        else:
+            break
+    ours, ref = run_both(labels, 4, 2)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_uniform_label():
+    labels = np.zeros([16, 16], np.uint16)
+    ours, ref = run_both(labels, 3, 10)
+    np.testing.assert_array_equal(ours, ref)
+    assert (ours == 0).all()
+
+
+def test_topk_drop(rng):
+    # more components above threshold than K -> smallest get absorbed
+    labels = np.zeros([12, 40], np.uint16)
+    # 5 vertical stripes of label 1 with different widths in a label-0 field
+    widths = [2, 3, 4, 5, 6]
+    x = 1
+    for w in widths:
+        labels[:, x:x + w] = 1
+        x += w + 2
+    ours, ref = run_both(labels, 4, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_checkerboard():
+    labels = (np.indices((17, 19)).sum(axis=0) % 2).astype(np.uint16)
+    ours, ref = run_both(labels, 30, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_connected_components_leaders(rng):
+    labels = rng.integers(0, 3, size=(15, 17)).astype(np.int32)
+    L = np.asarray(connected_components(jnp.asarray(labels)))
+    # every component's label equals the min linear index of its members
+    flat = L.ravel()
+    for leader in np.unique(flat):
+        members = np.nonzero(flat == leader)[0]
+        assert members.min() == leader

@@ -1,0 +1,107 @@
+"""End-to-end iterate parity: XLA pipeline vs the exact numpy oracle.
+
+Integer variants must match bit-for-bit; float variants run the identical
+op sequence so they are also expected exact on CPU; LSC is tolerance-based
+(transcendental functions differ between XLA and numpy by ulps).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fast_slic_tpu import cluster as cl
+from fast_slic_tpu.config import (
+    StaticConfig, RuntimeParams,
+    VARIANT_STANDARD, VARIANT_REAL, VARIANT_REAL_L2, VARIANT_REAL_NOQ,
+    VARIANT_LSC,
+)
+from fast_slic_tpu import pipeline
+from fast_slic_tpu.oracle import numpy_ref as oracle
+
+
+def run_jax(image, st, cfg, params):
+    fn = pipeline.compiled_iterate(cfg, params.max_iter,
+                                   params.subsample_stride)
+    labels, out_st, _, _ = fn(
+        image, jax.tree.map(jnp.asarray, st),
+        np.float32(params.compactness), np.float32(params.min_size_factor),
+        np.float32(params.preemptive_thres))
+    return np.asarray(labels), jax.tree.map(np.asarray, out_st)
+
+
+def agreement(a, b):
+    return float((a == b).mean())
+
+
+CASES = [
+    (VARIANT_STANDARD, dict(convert_to_lab=True)),
+    (VARIANT_STANDARD, dict(convert_to_lab=False)),
+    (VARIANT_STANDARD, dict(manhattan_spatial_dist=False)),
+    (VARIANT_REAL, dict(convert_to_lab=True)),
+    (VARIANT_REAL_L2, dict(convert_to_lab=True)),
+    (VARIANT_REAL_NOQ, dict(convert_to_lab=True)),
+    (VARIANT_REAL_NOQ, dict(manhattan_spatial_dist=False)),
+]
+
+
+@pytest.mark.parametrize("variant,flags", CASES)
+def test_iterate_matches_oracle(image_factory, variant, flags):
+    H, W, K = 48, 64, 12
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K, variant=variant, **flags)
+    params = RuntimeParams(compactness=10.0, min_size_factor=0.1,
+                           subsample_stride=3, max_iter=4)
+    st = cl.initialize_clusters(image, K)
+
+    labels_j, st_j = run_jax(image, st, cfg, params)
+    labels_o, st_o = oracle.iterate_oracle(image, st, cfg, params)
+
+    np.testing.assert_array_equal(labels_j, labels_o)
+    np.testing.assert_allclose(st_j.y, st_o.y, atol=1e-4)
+    np.testing.assert_allclose(st_j.x, st_o.x, atol=1e-4)
+    np.testing.assert_array_equal(st_j.num_members, st_o.num_members)
+
+
+def test_iterate_lsc(image_factory):
+    H, W, K = 48, 64, 12
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K, variant=VARIANT_LSC)
+    params = RuntimeParams(compactness=10.0, min_size_factor=0.1,
+                           subsample_stride=3, max_iter=4)
+    st = cl.initialize_clusters(image, K)
+    labels_j, _ = run_jax(image, st, cfg, params)
+    labels_o, _ = oracle.iterate_oracle(image, st, cfg, params)
+    assert agreement(labels_j, labels_o) > 0.97
+
+
+def test_min_size_zero_keeps_components(image_factory):
+    H, W, K = 40, 40, 9
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K)
+    params = RuntimeParams(min_size_factor=0.0, max_iter=3)
+    st = cl.initialize_clusters(image, K)
+    labels_j, _ = run_jax(image, st, cfg, params)
+    labels_o, _ = oracle.iterate_oracle(image, st, cfg, params)
+    np.testing.assert_array_equal(labels_j, labels_o)
+
+
+def test_stride_one(image_factory):
+    H, W, K = 32, 48, 8
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K)
+    params = RuntimeParams(subsample_stride=1, max_iter=2)
+    st = cl.initialize_clusters(image, K)
+    labels_j, _ = run_jax(image, st, cfg, params)
+    labels_o, _ = oracle.iterate_oracle(image, st, cfg, params)
+    np.testing.assert_array_equal(labels_j, labels_o)
+
+
+def test_labels_cover_and_bounded(image_factory):
+    H, W, K = 60, 60, 16
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K)
+    st = cl.initialize_clusters(image, K)
+    labels, _ = run_jax(image, st, cfg, RuntimeParams(max_iter=5))
+    assert labels.min() >= 0
+    assert labels.max() < K
