@@ -38,18 +38,25 @@ def enforce_connectivity(assignments, min_threshold):
     uint16; 0xFFFF ignored).
     """
     import numpy as np
-    from .ops.cca import enforce_connectivity_xla
     from .config import UNASSIGNED
-    import jax.numpy as jnp
 
     arr = np.asarray(assignments)
     u = arr.astype(np.int64) & 0xFFFF
+    # K inferred by scanning for the max in-range label (cfast_slic.pyx:377-382)
     labels = u[u != UNASSIGNED]
     K = int(labels.max()) + 1 if labels.size else 1
-    out = np.asarray(
-        enforce_connectivity_xla(jnp.asarray(u.astype(np.int32)), K,
-                                 jnp.int32(min_threshold))
-    ).astype(arr.dtype)
+
+    from . import native
+    if native.available():
+        out = native.enforce_connectivity_native(u, K, int(min_threshold))
+        out = out.astype(arr.dtype)
+    else:  # pragma: no cover - g++ is present in supported environments
+        from .ops.cca import enforce_connectivity_xla
+        import jax.numpy as jnp
+        out = np.asarray(
+            enforce_connectivity_xla(jnp.asarray(u.astype(np.int32)), K,
+                                     jnp.int32(min_threshold))
+        ).astype(arr.dtype)
     try:
         arr[...] = out
         return arr

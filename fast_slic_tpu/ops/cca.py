@@ -94,6 +94,21 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold):
     min_threshold: traced int32 scalar.
     Returns int32 [H, W] relabeled map.
     """
+    labels, _ = enforce_connectivity_xla_flagged(assignment, K, min_threshold)
+    return labels
+
+
+def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold):
+    """Like :func:`enforce_connectivity_xla` but also returns a bool scalar
+    flagging the one case where this implementation can deviate from the
+    reference: more than K components pass the area threshold AND several
+    components *tie in area exactly at the K-th boundary*.  The reference's
+    std::partial_sort then keeps a heap-layout-dependent subset
+    (cca.cpp:226), while this path keeps the tied components with the
+    smallest numbers.  Callers wanting bit-parity re-run the host CCA
+    (native.enforce_connectivity_native) when the flag fires — it is rare,
+    and either choice is equally valid segmentation-wise (equal areas).
+    """
     H, W = assignment.shape
     n = H * W
 
@@ -112,15 +127,21 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold):
     ].max(jnp.where(is_leader, iota, 0))
 
     valid_comp = iota < num_components
-    kept = valid_comp & (areas >= min_threshold)
+    kept_pre = valid_comp & (areas >= min_threshold)
+    num_above = jnp.sum(kept_pre.astype(jnp.int32))
 
     # top-K by area among kept; ties -> smaller component number.
     # jax.lax.top_k is stable (ties resolved to lower index).
     k = min(K, n)
-    masked_areas = jnp.where(kept, areas, -1)
+    masked_areas = jnp.where(kept_pre, areas, -1)
     _, top_idx = jax.lax.top_k(masked_areas, k)
     in_topk = jnp.zeros([n], bool).at[top_idx].set(True)
-    kept = kept & in_topk
+    kept = kept_pre & in_topk
+
+    # boundary-tie detection (see enforce_connectivity_xla_flagged doc)
+    kept_min = jnp.min(jnp.where(kept, areas, jnp.int32(0x7FFFFFFF)))
+    dropped_max = jnp.max(jnp.where(kept_pre & ~kept, areas, -1))
+    boundary_tie = (num_above > k) & (dropped_max == kept_min)
 
     substitute = jnp.where(
         kept, jnp.cumsum(kept.astype(jnp.int32)) - 1, UNASSIGNED
@@ -148,4 +169,4 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold):
     substitute, _ = jax.lax.fori_loop(0, steps, jump, (substitute, target))
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
-    return substitute[comp].reshape(H, W)
+    return substitute[comp].reshape(H, W), boundary_tie

@@ -47,11 +47,32 @@ _C_MATRIX = np.array(
 )
 
 
+def _powf_c(base: np.ndarray, exponent: float) -> np.ndarray:
+    """Element-wise C ``powf`` via libm, so LUT entries match a C build
+    bit-for-bit (numpy's float32 power differs by 1 ulp on ~0.3% of inputs,
+    which flips ~0.016%% of LAB outputs by +-1)."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+        libm.powf.restype = ctypes.c_float
+        libm.powf.argtypes = [ctypes.c_float, ctypes.c_float]
+        e = np.float32(exponent)
+        return np.array(
+            [libm.powf(np.float32(b), e) for b in base.ravel()],
+            dtype=np.float32,
+        ).reshape(base.shape)
+    except OSError:  # pragma: no cover - libm always present on linux
+        return np.power(base.astype(np.float32), np.float32(exponent),
+                        dtype=np.float32)
+
+
 def _lab_nonlin_f32(v: np.ndarray) -> np.ndarray:
     """f(t) used by CIELAB: cbrt above the 0.008856 knee (cielab.h:328-332)."""
     v = v.astype(np.float32)
     lo = np.float32(7.787) * v + np.float32(0.137931)
-    hi = np.power(v, np.float32(0.333333), dtype=np.float32)
+    hi = _powf_c(v, 0.333333)
     return np.where(v > np.float32(0.008856), hi, lo)
 
 
@@ -64,8 +85,11 @@ def _build_int_tables():
     # Cb[i] = roundf(C[i] * (1 << lab_shift)) (cielab.h:300-301).
     cb = np.round(_C_MATRIX * np.float32(1 << LAB_SHIFT)).astype(np.int32)
     # lab_tbl[i] = roundf(lab_nonlin(i / srgb_max) * srgb_max) (cielab.h:302-304).
+    # roundf rounds half away from zero (values are positive: floor(x + 0.5)),
+    # unlike numpy's round-half-to-even.
     idx = np.arange(SRGB_MAX + 1, dtype=np.float32) / np.float32(SRGB_MAX)
-    lab_tbl = np.round(_lab_nonlin_f32(idx) * np.float32(SRGB_MAX)).astype(np.int32)
+    scaled = (_lab_nonlin_f32(idx) * np.float32(SRGB_MAX)).astype(np.float32)
+    lab_tbl = np.floor(scaled + np.float32(0.5)).astype(np.int32)
     return srgb_tbl, cb, lab_tbl
 
 

@@ -78,9 +78,11 @@ def _assign_pass(planes, st: Clusters, cfg: StaticConfig, compactness,
     """One assign() pass: per-cluster +-S window argmin scatter
     (context.cpp:200-298, 394-499; lsc.cpp:197-224).
 
-    Iterates clusters in ascending k with strict '<' replacement, which
-    realizes the "ties -> smallest cluster number" rule.  Mutates
-    `assignment` in place; returns min_dists.
+    Iterates clusters in the reference's visit order — 4-phase checkerboard
+    of (2S+32)-cells, ascending cluster number within a phase
+    (context.cpp:214-242) — with strict '<' replacement, so distance ties
+    resolve exactly like the reference scalar arch.  Mutates `assignment`
+    in place; returns min_dists.
     """
     H, W, S = cfg.H, cfg.W, cfg.S
     variant = cfg.variant
@@ -103,7 +105,13 @@ def _assign_pass(planes, st: Clusters, cfg: StaticConfig, compactness,
         )
     coef = np.float32(1 << color_shift) / (np.float32(S) / np.float32(compactness))
 
-    for k in range(st.K):
+    # visit order: (phase, k) with phase from the (2S+32)-cell checkerboard
+    T = 2 * S + 32
+    phases = (2 * ((st.y.astype(np.int64) // T) % 2)
+              + (st.x.astype(np.int64) // T) % 2)
+    visit = sorted(range(st.K), key=lambda k: (phases[k], k))
+
+    for k in visit:
         if not st.is_active[k]:
             continue
         if variant == VARIANT_REAL_NOQ:
@@ -150,7 +158,12 @@ def _assign_pass(planes, st: Clusters, cfg: StaticConfig, compactness,
                     + np.abs(win[..., 1] - cg)
                     + np.abs(win[..., 2] - cb)
                 )
-                dist = p + cd
+                if variant == VARIANT_REAL:
+                    # float DistType: patch + float(color), all f32
+                    # (context.cpp:285 with DistType=float)
+                    dist = p + cd.astype(np.float32)
+                else:
+                    dist = p + cd
 
         sub_md = min_dists[ii[:, None], jj[None, :]]
         better = dist < sub_md
@@ -263,11 +276,13 @@ def lsc_seed_centroids(feats, st: Clusters, cfg: StaticConfig):
 
 
 def lsc_after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
-                     stride, rem, assignment):
+                     stride, rem, assignment, active_px=None):
     """Weighted feature re-centroid (lsc.cpp:226-307)."""
     H, W, K = cfg.H, cfg.W, st.K
     row_valid = (np.arange(H) % stride) == rem
     mask = row_valid[:, None] & (assignment != UNASSIGNED)
+    if active_px is not None:
+        mask = mask & active_px
     ids = np.where(mask, assignment, K).ravel()
     w = weights.ravel()
     acc = np.zeros([K + 1, 10], np.float64)
@@ -283,6 +298,59 @@ def lsc_after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
 # ---------------------------------------------------------------------------
 # Connectivity enforcement (src/cca.cpp)
 # ---------------------------------------------------------------------------
+
+def heap_select_topk(seq, areas, K):
+    """The exact element set std::partial_sort keeps (libstdc++ heap_select).
+
+    The reference keeps the K largest-area components via
+    ``std::partial_sort(comps.begin(), comps.begin()+K, comps.end(), areacmp)``
+    (cca.cpp:226).  When several components share the area at the K-th
+    boundary, *which* of them survive depends on libstdc++'s heap layout —
+    so we reproduce the algorithm: build a heap over the first K elements
+    (std::__make_heap) and replace the top whenever a later element compares
+    strictly better (std::__heap_select).  ``comp(a, b)`` is areacmp:
+    ``areas[a] > areas[b]``.
+    """
+
+    def comp(a, b):
+        return areas[a] > areas[b]
+
+    def push_heap(h, hole, top, value):
+        parent = (hole - 1) // 2
+        while hole > top and comp(h[parent], value):
+            h[hole] = h[parent]
+            hole = parent
+            parent = (hole - 1) // 2
+        h[hole] = value
+
+    def adjust_heap(h, hole, length, value):
+        top = hole
+        second = hole
+        while second < (length - 1) // 2:
+            second = 2 * (second + 1)
+            if comp(h[second], h[second - 1]):
+                second -= 1
+            h[hole] = h[second]
+            hole = second
+        if (length & 1) == 0 and second == (length - 2) // 2:
+            second = 2 * (second + 1)
+            h[hole] = h[second - 1]
+            hole = second - 1
+        push_heap(h, hole, top, value)
+
+    h = list(seq[:K])
+    if K >= 2:
+        parent = (K - 2) // 2
+        while True:
+            value = h[parent]
+            adjust_heap(h, parent, K, value)
+            if parent == 0:
+                break
+            parent -= 1
+    for x in seq[K:]:
+        if comp(x, h[0]):
+            adjust_heap(h, 0, K, x)
+    return h
 
 def enforce_connectivity_np(labels: np.ndarray, K: int, min_threshold: int) -> np.ndarray:
     """Exact ConnectivityEnforcer::execute semantics (cca.cpp:178-265).
@@ -333,9 +401,7 @@ def enforce_connectivity_np(labels: np.ndarray, K: int, min_threshold: int) -> n
     substitute = np.full([num_components], UNASSIGNED, np.int64)
     comps = np.nonzero(areas >= min_threshold)[0]
     if comps.size > K:
-        # top-K by area; deterministic ties by smaller component number
-        order = np.lexsort((comps, -areas[comps]))
-        comps = np.sort(comps[order[:K]])
+        comps = np.sort(heap_select_topk(comps.tolist(), areas, K))
     for next_label, c in enumerate(comps):
         substitute[c] = next_label
     if num_components > 0 and substitute[0] == UNASSIGNED:
@@ -359,6 +425,38 @@ def enforce_connectivity_np(labels: np.ndarray, K: int, min_threshold: int) -> n
 # ---------------------------------------------------------------------------
 # Full iterate
 # ---------------------------------------------------------------------------
+
+_COOLDOWN = 2  # preemptive.h:32
+
+
+def _preemptive_set_new(st: Clusters, old_y, old_x, cfg: StaticConfig,
+                        thres: float):
+    """PreemptiveGrid::set_new_clusters (preemptive.h:114-178)."""
+    S = cfg.S
+    # roundf (half away from zero) of the f32 product, as in preemptive.h:126
+    l1_thres = max(
+        math.floor(float(np.float32(2 * S) * np.float32(thres)) + 0.5), 1.0)
+    upd = st.is_updatable > 0
+    moved = np.abs(old_x - st.x) + np.abs(old_y - st.y)
+    st.is_updatable = np.where(
+        upd, np.where(moved < l1_thres, st.is_updatable - 1, _COOLDOWN),
+        st.is_updatable).astype(np.int32)
+    upd2 = st.is_updatable > 0
+    near = (np.abs(st.y[:, None] - st.y[None, :]) <= 2 * S) & \
+           (np.abs(st.x[:, None] - st.x[None, :]) <= 2 * S)
+    st.is_active = np.any(near & upd2[:, None], axis=0).astype(np.int32)
+    all_active = bool((st.is_active == 1).all())
+
+    CH, CW = -(-cfg.H // (2 * S)), -(-cfg.W // (2 * S))
+    grid = np.zeros([CH, CW], bool)
+    cy = np.clip(st.y.astype(np.int64) // (2 * S), 0, CH - 1)
+    cx = np.clip(st.x.astype(np.int64) // (2 * S), 0, CW - 1)
+    for k in range(st.K):
+        if st.is_active[k]:
+            grid[cy[k], cx[k]] = True
+    px = np.repeat(np.repeat(grid, 2 * S, 0)[:cfg.H], 2 * S, 1)[:, :cfg.W]
+    return st, px | all_active
+
 
 def iterate_oracle(image: np.ndarray, st: Clusters, cfg: StaticConfig,
                    params: RuntimeParams):
@@ -384,18 +482,29 @@ def iterate_oracle(image: np.ndarray, st: Clusters, cfg: StaticConfig,
         lsc_feats, lsc_w = lsc_features(planes, cfg, params.compactness)
         lsc_cent = lsc_seed_centroids(lsc_feats, st, cfg)
 
+    # preemptive_grid.initialize (runs regardless of the flag)
+    st.is_updatable = np.full([st.K], _COOLDOWN, np.int32)
+    active_px = np.ones([H, W], bool)
+
     stride = int(params.subsample_stride)
     rem = 0
     for _ in range(int(params.max_iter)):
         _assign_pass(planes, st, cfg, params.compactness, stride, rem,
                      assignment, color_shift, lsc_feats, lsc_cent)
-        _update_pass(planes, st, cfg, stride, rem, assignment)
+        old_y, old_x = st.y.copy(), st.x.copy()
+        _update_pass(planes, st, cfg, stride, rem, assignment,
+                     active_px if cfg.preemptive else None)
         if cfg.variant == VARIANT_LSC:
             lsc_cent = lsc_after_update(
-                lsc_feats, lsc_w, st, lsc_cent, cfg, stride, rem, assignment)
+                lsc_feats, lsc_w, st, lsc_cent, cfg, stride, rem, assignment,
+                active_px if cfg.preemptive else None)
+        if cfg.preemptive:
+            st, active_px = _preemptive_set_new(
+                st, old_y, old_x, cfg, params.preemptive_thres)
         rem = (rem + 1) % stride
 
-    # full_assign with stride 1 (context.cpp:179-181, 246-256)
+    # preemptive_grid.finalize + full_assign with stride 1
+    st.is_active = np.ones([st.K], np.int32)
     _assign_pass(planes, st, cfg, params.compactness, 1, 0, assignment,
                  color_shift, lsc_feats, lsc_cent)
 

@@ -15,9 +15,11 @@ Design (vs the reference, ``/root/reference/src/context.cpp:109-197``):
   full_assign, connectivity enforcement — is traced into a single jit
   program; nothing round-trips to the host between phases.
 
-Tie-breaking: smallest distance wins, ties to the smallest cluster number
-(deterministic; see oracle/numpy_ref.py for why this deviates from the
-reference's visit-order rule).
+Tie-breaking reproduces the reference exactly: candidates are ordered by the
+reference's 4-phase visit order (visit_order_key) and the first-visited
+cluster wins equal distances, so the quantized path is bit-identical to the
+reference scalar arch (validated against a build of the unmodified reference
+C++ on the full-size fish image — see scripts/compare_vs_reference.py).
 """
 
 from __future__ import annotations
@@ -41,30 +43,59 @@ from .config import (
     VARIANT_LSC,
 )
 from .ops.cielab import rgb_to_lab_quantized
-from .ops.cca import enforce_connectivity_xla
+from .ops.cca import enforce_connectivity_xla_flagged
 from .ops import lsc as lsc_ops
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 _F32_MAX = jnp.float32(np.finfo(np.float32).max)
 
 
+
+def _nofma(x):
+    """Block XLA's mul+add contraction (FMA) so float sums round exactly like
+    the reference C (and the numpy oracle): a*b+c contracted to fma(a,b,c)
+    skips the intermediate rounding and flips argmin winners at ties."""
+    return jax.lax.optimization_barrier(x)
+
 def cell_grid_shape(cfg: StaticConfig):
     S = cfg.S
     return -(-cfg.H // S), -(-cfg.W // S)
+
+
+def visit_order_key(y, x, cfg: StaticConfig):
+    """Per-cluster visit rank reproducing the reference's assignment order.
+
+    The reference processes clusters in 4 checkerboard phases of
+    (2S+32)-sized cells (context.cpp:214-242): phase p covers cells with
+    (row%2, col%2) == (p/2, p%2), and within a cell clusters are visited in
+    ascending number.  On equal distances the *first-visited* cluster keeps
+    the pixel (strict > compare, context.cpp:290), so ties are decided by
+    this order.  Two clusters whose +-S windows can overlap always sit in
+    different phases (same-phase cells are >= 2S+64 apart), hence the order
+    reduces to the lexicographic key (phase, cluster_number) — which this
+    returns as a single int32 key = phase*K + k.
+    """
+    S, K = cfg.S, cfg.K
+    T = 2 * S + 32
+    ci = (y.astype(jnp.int32) // T)
+    cj = (x.astype(jnp.int32) // T)
+    phase = 2 * (ci % 2) + (cj % 2)
+    return phase * K + jnp.arange(K, dtype=jnp.int32)
 
 
 def build_candidates(y, x, is_active, cfg: StaticConfig):
     """Bucket clusters into S-cells and build per-cell candidate lists.
 
     Returns int32 [GH, GW, 9*P] of cluster ids (-1 = empty slot): the 3x3
-    cell neighborhood, P clusters per cell.  Any cluster whose center is
-    within +-S of a pixel in cell (ci, cj) lies in that neighborhood, which
-    is the same locality fact the reference's checkerboard partition exploits
-    (cell size 2S+32, context.cpp:214-221), used gather-side here.
+    cell neighborhood, P clusters per cell, *sorted by visit order* (see
+    visit_order_key) so that ties can be broken by slot index.  Any cluster
+    whose center is within +-S of a pixel in cell (ci, cj) lies in that
+    neighborhood — the same locality fact the reference's checkerboard
+    partition exploits (context.cpp:214-221), used gather-side here.
 
-    Bucketing is deterministic: clusters are stably sorted by cell id, so
-    slot order within a cell is ascending cluster number; overflow beyond P
-    is dropped (seeding gives ~1 cluster/cell, P=cell_capacity is headroom).
+    Bucketing is deterministic: clusters are stably sorted by cell id;
+    overflow beyond P is dropped (seeding gives ~1 cluster/cell,
+    P=cell_capacity is headroom; tests assert occupancy fits).
     """
     GH, GW = cell_grid_shape(cfg)
     S, K, P = cfg.S, cfg.K, cfg.cell_capacity
@@ -92,7 +123,13 @@ def build_candidates(y, x, is_active, cfg: StaticConfig):
         for di in (-1, 0, 1)
         for dj in (-1, 0, 1)
     ]
-    return jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
+    cand = jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
+
+    # sort each cell's candidate list by visit order (invalid slots last)
+    key = visit_order_key(y, x, cfg)
+    cand_key = jnp.where(cand >= 0, key[jnp.maximum(cand, 0)], jnp.int32(2**30))
+    sort_idx = jnp.argsort(cand_key, axis=-1)
+    return jnp.take_along_axis(cand, sort_idx, axis=-1)
 
 
 def _expand_cells(a, cfg: StaticConfig):
@@ -108,8 +145,47 @@ class AssignResult(NamedTuple):
     min_dists: jnp.ndarray   # DistType [H, W] (reset each pass, recorder only)
 
 
-def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
-               old_assignment, color_shift, rem, stride,
+class IterateOut(NamedTuple):
+    labels: jnp.ndarray          # int32 [H, W], -1 = unassigned
+    clusters: "Clusters"         # final centroid state
+    min_dists: jnp.ndarray       # last full-assign distances
+    snaps: object                # debug recorder snapshots or None
+    raw_assignment: jnp.ndarray  # pre-CCA assignment (int32, UNASSIGNED ok)
+    cca_tie: jnp.ndarray         # bool: host CCA re-run needed for bit-parity
+
+
+class DerivedScalars(NamedTuple):
+    """Runtime scalars derived host-side with the exact float ops of the
+    reference C code.  XLA backends are allowed 1-ulp-off divisions (the CPU
+    backend's 1/12.2f differs from IEEE), which flips truncated distance
+    LUT values at exact quantization boundaries — so anything involving a
+    division or libm rounding is computed in numpy (IEEE, matching C) and
+    fed into the graph as data.
+    """
+
+    coef: np.float32       # spatial coefficient (context.cpp:24-25)
+    c_spatial: np.float32  # LSC C_color * compactness/100 (lsc.cpp:27-28)
+    thres: np.int32        # CCA area threshold (context.cpp:16)
+    l1_thres: np.float32   # preemptive movement threshold (preemptive.h:126)
+
+
+def derive_scalars(cfg: StaticConfig, compactness, min_size_factor,
+                   preemptive_thres) -> DerivedScalars:
+    S = cfg.S
+    color_shift = 1 if cfg.convert_to_lab else 0
+    c = np.float32(compactness)
+    coef = (np.float32(1.0) / (np.float32(S) / c)) * np.float32(1 << color_shift)
+    c_spatial = np.float32(20.0) * (c / np.float32(100.0))
+    # (int)round((double)(S*S) * (double)msf): half away from zero
+    thres = np.int32(math.floor(float(S * S) * float(min_size_factor) + 0.5))
+    # my_max(roundf(2*S*thres), 1.0f)
+    l1 = float(np.float32(2 * S) * np.float32(preemptive_thres))
+    l1_thres = np.float32(max(math.floor(l1 + 0.5), 1.0))
+    return DerivedScalars(coef, c_spatial, thres, l1_thres)
+
+
+def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
+               old_assignment, rem, stride,
                lsc_feats=None, lsc_cent=None) -> AssignResult:
     """One assign() pass over all pixels (context.cpp:200-298 and variants).
 
@@ -123,10 +199,6 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    # float op order matches the reference exactly (context.cpp:24-25):
-    # coef = 1/(S/compactness), then scaled by the exact power of two.
-    coef = (jnp.float32(1.0) / (jnp.float32(S) / compactness.astype(jnp.float32))
-            ) * jnp.float32(1 << color_shift)
 
     # Candidate table: per-cluster [y, x, r, g, b] (+10 LSC features).
     table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)  # [K, 5] f32
@@ -151,18 +223,30 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
         if variant == VARIANT_REAL_L2:
             fy = coef * di.astype(jnp.float32)
             fx = coef * dj.astype(jnp.float32)
-            sp = fy * fy + fx * fx
+            sp = _nofma(fy * fy) + _nofma(fx * fx)
         elif cfg.manhattan_spatial_dist:
             sp = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
         else:
             dif = di.astype(jnp.float32)
             djf = dj.astype(jnp.float32)
-            sp = coef * jnp.sqrt(dif * dif + djf * djf)
+            sp = coef * jnp.sqrt(_nofma(dif * dif) + _nofma(djf * djf))
         return inwin, sp
 
     p0 = planes[..., 0]
     p1 = planes[..., 1]
     p2 = planes[..., 2]
+
+    # Ties break by candidate slot index == reference visit order
+    # (build_candidates sorts slots by visit_order_key).
+    assert nslots < 128, "slot index must fit in 7 bits"
+
+    def slot_to_cluster(slot, got):
+        """Map winning slot back to a cluster id via the candidate table."""
+        cell_px = (ii // S) * (cand.shape[1]) + (jj // S)
+        flat = cand.reshape(-1)
+        safe_idx = cell_px * nslots + jnp.where(got, slot, 0)
+        out = flat[safe_idx]
+        return jnp.where(got & (out >= 0), out, UNASSIGNED)
 
     if quantized:
         def body(s, m):
@@ -173,18 +257,18 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
                   + jnp.abs(p1 - c[..., 3].astype(jnp.int32))
                   + jnp.abs(p2 - c[..., 4].astype(jnp.int32)))
             dist = (sp_q + cd).astype(jnp.uint32)
-            packed = (dist << 16) | ids.astype(jnp.uint32)
+            packed = (dist << 7) | jnp.uint32(s)
             return jnp.minimum(m, jnp.where(inwin, packed, _U32_MAX))
 
         m = jnp.full([H, W], _U32_MAX, jnp.uint32)
         m = jax.lax.fori_loop(0, nslots, body, m)
         got = m != _U32_MAX
-        new_assign = (m & 0xFFFF).astype(jnp.int32)
-        new_dist = (m >> 16).astype(jnp.int32)
+        new_assign = slot_to_cluster((m & 0x7F).astype(jnp.int32), got)
+        new_dist = (m >> 7).astype(jnp.int32)
         min_dists_reset = jnp.int32(0xFFFF)
     else:
         def body(s, carry):
-            md, ma = carry
+            md, ms = carry
             ids, valid, safe, c = slot_data(s)
             if variant == VARIANT_LSC:
                 cy = c[..., 0].astype(jnp.int32)
@@ -192,7 +276,7 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
                 inwin = valid & (jnp.abs(ii - cy) <= S) & (jnp.abs(jj - cx) <= S)
                 cf = lsc_cent[safe]                      # [H, W, 10]
                 diff = lsc_feats - cf
-                dist = jnp.sum(diff * diff, axis=-1)
+                dist = jnp.sum(_nofma(diff * diff), axis=-1)
             elif variant == VARIANT_REAL_NOQ:
                 cy = c[..., 0]
                 cx = c[..., 1]
@@ -211,7 +295,9 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
                     dist = (jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)
                             + jnp.abs(dx) + jnp.abs(dy))
                 else:
-                    dist = dr * dr + dg * dg + db * db + dx * dx + dy * dy
+                    dist = (_nofma(dr * dr) + _nofma(dg * dg)
+                            + _nofma(db * db) + _nofma(dx * dx)
+                            + _nofma(dy * dy))
             else:  # real / real_l2: int-cast centers, patch spatial
                 inwin, sp = window_and_spatial(c, valid)
                 cr = c[..., 2].astype(jnp.int32)
@@ -221,21 +307,24 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, compactness,
                     dr = (p0 - cr).astype(jnp.float32)
                     dg = (p1 - cg).astype(jnp.float32)
                     db = (p2 - cb).astype(jnp.float32)
-                    dist = sp + dr * dr + dg * dg + db * db
+                    dist = (sp + _nofma(dr * dr)
+                            + _nofma(dg * dg) + _nofma(db * db))
                 else:
                     cd = (jnp.abs(p0 - cr) + jnp.abs(p1 - cg)
                           + jnp.abs(p2 - cb)).astype(jnp.float32)
-                    dist = sp + cd
+                    dist = _nofma(sp) + cd
 
             dist = jnp.where(inwin, dist, _F32_MAX)
-            better = (dist < md) | ((dist == md) & (ids < ma) & inwin)
-            return (jnp.where(better, dist, md), jnp.where(better, ids, ma))
+            # slots are visit-ordered: the first slot to reach a value wins
+            # ties, matching the reference's strict '>' compare.
+            better = inwin & (dist < md)
+            return (jnp.where(better, dist, md), jnp.where(better, s, ms))
 
         md = jnp.full([H, W], _F32_MAX, jnp.float32)
-        ma = jnp.full([H, W], UNASSIGNED, jnp.int32)
-        md, ma = jax.lax.fori_loop(0, nslots, body, (md, ma))
-        got = md != _F32_MAX
-        new_assign = ma
+        ms = jnp.full([H, W], -1, jnp.int32)
+        md, ms = jax.lax.fori_loop(0, nslots, body, (md, ms))
+        got = ms >= 0
+        new_assign = slot_to_cluster(ms, got)
         new_dist = md
         min_dists_reset = _F32_MAX
 
@@ -304,7 +393,7 @@ _PREEMPTIVE_COOLDOWN = 2  # preemptive.h:32
 
 
 def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
-                     preemptive_thres):
+                     l1_thres):
     """PreemptiveGrid::set_new_clusters (preemptive.h:114-178).
 
     Decrements the per-cluster cooldown when the center moved less than
@@ -318,10 +407,6 @@ def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
     few thousand in practice.
     """
     S = cfg.S
-    l1_thres = jnp.maximum(
-        jnp.round(jnp.float32(2 * S) * preemptive_thres.astype(jnp.float32)),
-        1.0,
-    )
     upd = st.is_updatable > 0
     moved = jnp.abs(old_x - st.x) + jnp.abs(old_y - st.y)
     new_updatable = jnp.where(
@@ -356,9 +441,8 @@ def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
     return st, px
 
 
-def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
-                  min_size_factor, preemptive_thres, max_iter: int,
-                  stride: int):
+def iterate_graph(image, st: Clusters, cfg: StaticConfig,
+                  scalars: DerivedScalars, max_iter: int, stride: int):
     """The full iterate() pipeline as one traceable function.
 
     image: uint8 [H, W, 3].  Returns (labels int32 [H, W] with -1 for
@@ -366,15 +450,12 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
     cfg.debug_mode — stacked per-iteration recorder snapshots).
     """
     H, W, S, K = cfg.H, cfg.W, cfg.S, cfg.K
-    compactness = jnp.asarray(compactness, jnp.float32)
-    preemptive_thres = jnp.asarray(preemptive_thres, jnp.float32)
+    coef = jnp.asarray(scalars.coef, jnp.float32)
 
     if cfg.convert_to_lab:
         planes = rgb_to_lab_quantized(image)
-        color_shift = 1
     else:
         planes = image.astype(jnp.int32)
-        color_shift = 0
 
     # re-seed cluster colors from the quad image (context.cpp:128-135)
     cyi = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
@@ -391,7 +472,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
 
     lsc_feats = lsc_cent = lsc_w = None
     if cfg.variant == VARIANT_LSC:
-        lsc_feats, lsc_w = lsc_ops.features(planes, cfg, compactness)
+        lsc_feats, lsc_w = lsc_ops.features(
+            planes, cfg, jnp.asarray(scalars.c_spatial, jnp.float32))
         lsc_cent = lsc_ops.seed_centroids(lsc_feats, st, cfg)
 
     # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
@@ -408,34 +490,36 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
     dist_dtype = jnp.int32 if cfg.variant == VARIANT_STANDARD else jnp.float32
     min_dists = jnp.full([H, W], dist_reset, dist_dtype)
 
-    snaps = None
+    snap0 = None
     if cfg.debug_mode:
-        snaps = {"iter": [-1], "assignment": [assignment],
-                 "min_dists": [min_dists], "clusters": [st]}
+        snap0 = (assignment, min_dists, st)
 
-    rem = 0
-    for _ in range(max_iter):
+    # main loop as a scan: one traced iteration body, static trip count
+    rems = jnp.array([i % stride for i in range(max_iter)], jnp.int32)
+
+    def loop_body(carry, rem):
+        st, assignment, pixel_mask, lsc_cent_c = carry
         st = _clamp_centers(st, cfg)
         cand = build_candidates(st.y, st.x, st.is_active, cfg)
-        res = assign_xla(planes, st, cand, cfg, compactness, assignment,
-                         color_shift, rem, stride, lsc_feats, lsc_cent)
+        res = assign_xla(planes, st, cand, cfg, coef, assignment,
+                         rem, stride, lsc_feats, lsc_cent_c)
         assignment, min_dists = res
         old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
         st = update_xla(planes, assignment, st, cfg, rem, stride,
                         pixel_mask if cfg.preemptive else None)
         if cfg.variant == VARIANT_LSC:
-            lsc_cent = lsc_ops.after_update(
-                lsc_feats, lsc_w, st, lsc_cent, cfg, rem, stride, assignment,
-                pixel_mask if cfg.preemptive else None)
+            lsc_cent_c = lsc_ops.after_update(
+                lsc_feats, lsc_w, st, lsc_cent_c, cfg, rem, stride,
+                assignment, pixel_mask if cfg.preemptive else None)
         if cfg.preemptive:
-            st, pixel_mask = _preemptive_step(st, old_y, old_x, cfg,
-                                              preemptive_thres)
-        if cfg.debug_mode:
-            snaps["iter"].append(len(snaps["iter"]) - 1)
-            snaps["assignment"].append(assignment)
-            snaps["min_dists"].append(min_dists)
-            snaps["clusters"].append(st)
-        rem = (rem + 1) % stride
+            st, pixel_mask = _preemptive_step(
+                st, old_y, old_x, cfg,
+                jnp.asarray(scalars.l1_thres, jnp.float32))
+        out = (assignment, min_dists, st) if cfg.debug_mode else None
+        return (st, assignment, pixel_mask, lsc_cent_c), out
+
+    (st, assignment, pixel_mask, lsc_cent), scan_snaps = jax.lax.scan(
+        loop_body, (st, assignment, pixel_mask, lsc_cent), rems)
 
     # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
     st = Clusters(
@@ -448,35 +532,34 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig, compactness,
     # full_assign (context.cpp:179-181): stride 1, rem 0
     st = _clamp_centers(st, cfg)
     cand = build_candidates(st.y, st.x, st.is_active, cfg)
-    res = assign_xla(planes, st, cand, cfg, compactness, assignment,
-                     color_shift, 0, 1, lsc_feats, lsc_cent)
+    res = assign_xla(planes, st, cand, cfg, coef, assignment,
+                     0, 1, lsc_feats, lsc_cent)
     assignment, min_dists = res
 
-    # enforce_connectivity (context.cpp:15-20): thres = round(S^2 * msf)
-    thres = jnp.floor(
-        jnp.float32(S * S) * jnp.asarray(min_size_factor, jnp.float32) + 0.5
-    ).astype(jnp.int32)
-    labels = enforce_connectivity_xla(assignment, K, thres)
+    # enforce_connectivity (context.cpp:15-20); thres precomputed host-side
+    labels, cca_tie = enforce_connectivity_xla_flagged(
+        assignment, K, jnp.asarray(scalars.thres, jnp.int32))
     labels = jnp.where(labels == UNASSIGNED, -1, labels)
 
     snaps_out = None
     if cfg.debug_mode:
+        a0, d0, st0 = snap0
+        sa, sd, sst = scan_snaps
         snaps_out = (
-            tuple(snaps["iter"]),
-            jnp.stack(snaps["assignment"]),
-            jnp.stack(snaps["min_dists"]),
-            jax.tree.map(lambda *xs: jnp.stack(xs), *snaps["clusters"]),
+            tuple(range(-1, max_iter)),
+            jnp.concatenate([a0[None], sa]),
+            jnp.concatenate([d0[None], sd]),
+            jax.tree.map(lambda x0, xs: jnp.concatenate([x0[None], xs]),
+                         st0, sst),
         )
-    return labels, st, min_dists, snaps_out
+    return IterateOut(labels, st, min_dists, snaps_out, assignment, cca_tie)
 
 
 @functools.lru_cache(maxsize=128)
 def compiled_iterate(cfg: StaticConfig, max_iter: int, stride: int):
     """jit-compiled iterate for a given static configuration."""
 
-    def fn(image, clusters, compactness, min_size_factor, preemptive_thres):
-        return iterate_graph(image, clusters, cfg, compactness,
-                             min_size_factor, preemptive_thres, max_iter,
-                             stride)
+    def fn(image, clusters, scalars):
+        return iterate_graph(image, clusters, cfg, scalars, max_iter, stride)
 
     return jax.jit(fn)

@@ -34,17 +34,28 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
             fn = pipeline.compiled_iterate(
                 cfg, params.max_iter, params.subsample_stride)
         with timer.scope("execute"):
-            out = fn(
-                image,
-                jax.tree.map(jax.numpy.asarray, clusters),
-                np.float32(params.compactness),
-                np.float32(params.min_size_factor),
-                np.float32(params.preemptive_thres),
-            )
+            scalars = pipeline.derive_scalars(
+                cfg, params.compactness, params.min_size_factor,
+                params.preemptive_thres)
+            out = fn(image, jax.tree.map(jax.numpy.asarray, clusters),
+                     scalars)
             out = jax.block_until_ready(out)
         with timer.scope("write_back"):
-            labels_dev, st_dev, min_dists, snaps = out
-            labels = np.asarray(labels_dev).astype(np.int16)
+            st_dev, snaps = out.clusters, out.snaps
+            labels = np.asarray(out.labels).astype(np.int16)
+            if bool(np.asarray(out.cca_tie)):
+                # Rare: component areas tie exactly at the top-K boundary,
+                # where the device CCA's deterministic rule can differ from
+                # the reference's std::partial_sort.  Re-run CCA on host for
+                # bit-parity (ops/cca.py docstring).
+                with timer.scope("enforce_connectivity_host"):
+                    from . import native
+                    if native.available():
+                        raw = np.asarray(out.raw_assignment)
+                        fixed = native.enforce_connectivity_native(
+                            raw, cfg.K, int(scalars.thres))
+                        labels = fixed.astype(np.int16)
+                        labels[fixed == UNASSIGNED] = -1
             final = Clusters(*(np.asarray(f) for f in (
                 st_dev.y, st_dev.x, st_dev.r, st_dev.g, st_dev.b,
                 st_dev.num_members, st_dev.is_active, st_dev.is_updatable)))

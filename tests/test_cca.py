@@ -9,15 +9,27 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from fast_slic_tpu.ops.cca import enforce_connectivity_xla, connected_components
+from fast_slic_tpu.ops.cca import (
+    enforce_connectivity_xla_flagged, connected_components)
 from fast_slic_tpu.oracle.numpy_ref import enforce_connectivity_np
 from fast_slic_tpu.config import UNASSIGNED
+from fast_slic_tpu import native
 
 
 def run_both(labels, K, thres):
-    ours = np.asarray(
-        enforce_connectivity_xla(jnp.asarray(labels.astype(np.int32)), K,
-                                 jnp.int32(thres)))
+    """XLA CCA vs the union-find oracle.
+
+    When component areas tie exactly at the top-K boundary, the device path
+    flags it and the product re-runs CCA on the host (runner.py) — so here
+    we substitute the native host result exactly like the product does.
+    """
+    ours, tie = enforce_connectivity_xla_flagged(
+        jnp.asarray(labels.astype(np.int32)), K, jnp.int32(thres))
+    ours = np.asarray(ours)
+    if bool(np.asarray(tie)):
+        assert native.available()
+        ours = native.enforce_connectivity_native(
+            labels.astype(np.uint16), K, thres).astype(np.int64)
     ref = enforce_connectivity_np(labels.astype(np.uint16), K, thres)
     return ours, ref.astype(np.int64)
 

@@ -23,11 +23,19 @@ from fast_slic_tpu.oracle import numpy_ref as oracle
 def run_jax(image, st, cfg, params):
     fn = pipeline.compiled_iterate(cfg, params.max_iter,
                                    params.subsample_stride)
-    labels, out_st, _, _ = fn(
-        image, jax.tree.map(jnp.asarray, st),
-        np.float32(params.compactness), np.float32(params.min_size_factor),
-        np.float32(params.preemptive_thres))
-    return np.asarray(labels), jax.tree.map(np.asarray, out_st)
+    scalars = pipeline.derive_scalars(
+        cfg, params.compactness, params.min_size_factor,
+        params.preemptive_thres)
+    out = fn(image, jax.tree.map(jnp.asarray, st), scalars)
+    labels = np.asarray(out.labels)
+    if bool(np.asarray(out.cca_tie)):
+        # product behavior (runner.py): host CCA on boundary-area ties
+        from fast_slic_tpu import native
+        assert native.available()
+        labels = native.enforce_connectivity_native(
+            np.asarray(out.raw_assignment), cfg.K, int(scalars.thres)
+        ).astype(np.int64)
+    return labels, jax.tree.map(np.asarray, out.clusters)
 
 
 def agreement(a, b):
