@@ -17,6 +17,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cluster import Clusters
 from ..config import StaticConfig, UNASSIGNED
@@ -24,42 +25,64 @@ from ..config import StaticConfig, UNASSIGNED
 C_COLOR = 20.0  # lsc.h:8
 
 
-def features(planes, cfg: StaticConfig, compactness):
+def trig_tables(cfg: StaticConfig, compactness: float):
+    """Host-side trig LUTs, bit-matching the reference's tables
+    (lsc.cpp:70-101).  XLA's on-device f32 cos/sin differ from libm by
+    ~1e-5 — enough to flip assignment boundaries — so like the reference we
+    precompute: 256-entry color tables and per-row/col spatial tables, and
+    the device side only gathers.
+
+    Returns a dict of numpy arrays (a jit-able pytree).
+    """
+    H, W, S = cfg.H, cfg.W, cfg.S
+    halfPI = np.float32(math.pi / 2)
+    c_color = np.float32(C_COLOR)
+    ratio = np.float32(compactness) / np.float32(100.0)
+    c_spatial = c_color * ratio
+
+    xs = np.arange(256, dtype=np.float32)
+    theta = halfPI * (xs / np.float32(255.0))
+    ti = np.arange(H, dtype=np.float32) * (halfPI / np.float32(S))
+    tj = np.arange(W, dtype=np.float32) * (halfPI / np.float32(S))
+    return {
+        "color_cos": (c_color * np.cos(theta) * np.float32(2.55)).astype(np.float32),
+        "color_sin": (c_color * np.sin(theta) * np.float32(2.55)).astype(np.float32),
+        "L_cos": (c_color * np.cos(theta)).astype(np.float32),
+        "L_sin": (c_color * np.sin(theta)).astype(np.float32),
+        "h_cos": (c_spatial * np.cos(ti)).astype(np.float32),
+        "h_sin": (c_spatial * np.sin(ti)).astype(np.float32),
+        "w_cos": (c_spatial * np.cos(tj)).astype(np.float32),
+        "w_sin": (c_spatial * np.sin(tj)).astype(np.float32),
+    }
+
+
+def features(planes, cfg: StaticConfig, tables):
     """Per-pixel 10-D features + weights (map_image_into_feature_space,
     lsc.cpp:22-163).
 
-    planes: int32 [H, W, 3] quad image.  Returns (feats f32 [H, W, 10],
-    weights f32 [H, W]).  Feature order: l1,l2,a1,a2,b1,b2,x1,x2,y1,y2.
+    planes: int32 [H, W, 3] quad image.  tables: trig LUTs from
+    :func:`trig_tables`.  Returns (feats f32 [H, W, 10], weights f32
+    [H, W]).  Feature order: l1,l2,a1,a2,b1,b2,x1,x2,y1,y2.
     """
-    H, W, S = cfg.H, cfg.W, cfg.S
-    halfPI = jnp.float32(math.pi / 2)
-    c_color = jnp.float32(C_COLOR)
-    ratio = compactness.astype(jnp.float32) / jnp.float32(100.0)
-    c_spatial = c_color * ratio
-
-    Lp = planes[..., 0].astype(jnp.float32)
-    Ap = planes[..., 1].astype(jnp.float32)
-    Bp = planes[..., 2].astype(jnp.float32)
-
-    tL = halfPI * (Lp / 255.0)
-    tA = halfPI * (Ap / 255.0)
-    tB = halfPI * (Bp / 255.0)
-    ti = (jnp.arange(H, dtype=jnp.float32) * (halfPI / S))[:, None]
-    tj = (jnp.arange(W, dtype=jnp.float32) * (halfPI / S))[None, :]
+    H, W = cfg.H, cfg.W
+    t = {k: jnp.asarray(v) for k, v in tables.items()}
+    Lp = planes[..., 0]
+    Ap = planes[..., 1]
+    Bp = planes[..., 2]
 
     ones = jnp.ones([H, W], jnp.float32)
     feats = jnp.stack(
         [
-            c_color * jnp.cos(tL),
-            c_color * jnp.sin(tL),
-            c_color * jnp.cos(tA) * 2.55,
-            c_color * jnp.sin(tA) * 2.55,
-            c_color * jnp.cos(tB) * 2.55,
-            c_color * jnp.sin(tB) * 2.55,
-            c_spatial * jnp.cos(tj) * ones,
-            c_spatial * jnp.sin(tj) * ones,
-            c_spatial * jnp.cos(ti) * ones,
-            c_spatial * jnp.sin(ti) * ones,
+            t["L_cos"][Lp],
+            t["L_sin"][Lp],
+            t["color_cos"][Ap],
+            t["color_sin"][Ap],
+            t["color_cos"][Bp],
+            t["color_sin"][Bp],
+            t["w_cos"][None, :] * ones,
+            t["w_sin"][None, :] * ones,
+            t["h_cos"][:, None] * ones,
+            t["h_sin"][:, None] * ones,
         ],
         axis=-1,
     )

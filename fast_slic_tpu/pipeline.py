@@ -52,10 +52,16 @@ _F32_MAX = jnp.float32(np.finfo(np.float32).max)
 
 
 def _nofma(x):
-    """Block XLA's mul+add contraction (FMA) so float sums round exactly like
-    the reference C (and the numpy oracle): a*b+c contracted to fma(a,b,c)
-    skips the intermediate rounding and flips argmin winners at ties."""
-    return jax.lax.optimization_barrier(x)
+    """Block mul+add contraction (FMA) so float sums round exactly like the
+    reference C (and the numpy oracle): a*b+c contracted to fma(a,b,c) skips
+    the intermediate rounding and flips argmin winners at ties.
+
+    lax.optimization_barrier is NOT enough: inside lowered loops LLVM still
+    contracts the adjacent fmul/fadd.  Routing the product through a
+    float minimum breaks the pattern structurally (fmin cannot be folded
+    away without value knowledge) at the cost of one cheap VPU op, and works
+    identically on CPU and TPU backends."""
+    return jnp.minimum(x, _F32_MAX)
 
 def cell_grid_shape(cfg: StaticConfig):
     S = cfg.S
@@ -167,6 +173,7 @@ class DerivedScalars(NamedTuple):
     c_spatial: np.float32  # LSC C_color * compactness/100 (lsc.cpp:27-28)
     thres: np.int32        # CCA area threshold (context.cpp:16)
     l1_thres: np.float32   # preemptive movement threshold (preemptive.h:126)
+    lsc_tables: object = None  # host-built trig LUTs for the LSC variant
 
 
 def derive_scalars(cfg: StaticConfig, compactness, min_size_factor,
@@ -181,7 +188,9 @@ def derive_scalars(cfg: StaticConfig, compactness, min_size_factor,
     # my_max(roundf(2*S*thres), 1.0f)
     l1 = float(np.float32(2 * S) * np.float32(preemptive_thres))
     l1_thres = np.float32(max(math.floor(l1 + 0.5), 1.0))
-    return DerivedScalars(coef, c_spatial, thres, l1_thres)
+    tables = (lsc_ops.trig_tables(cfg, compactness)
+              if cfg.variant == VARIANT_LSC else None)
+    return DerivedScalars(coef, c_spatial, thres, l1_thres, tables)
 
 
 def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
@@ -261,7 +270,10 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
             return jnp.minimum(m, jnp.where(inwin, packed, _U32_MAX))
 
         m = jnp.full([H, W], _U32_MAX, jnp.uint32)
-        m = jax.lax.fori_loop(0, nslots, body, m)
+        # unrolled: all slot bodies fuse into one (or few) XLA loops, reading
+        # the pixel planes once instead of once per slot
+        for s_i in range(nslots):
+            m = body(s_i, m)
         got = m != _U32_MAX
         new_assign = slot_to_cluster((m & 0x7F).astype(jnp.int32), got)
         new_dist = (m >> 7).astype(jnp.int32)
@@ -322,7 +334,10 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
 
         md = jnp.full([H, W], _F32_MAX, jnp.float32)
         ms = jnp.full([H, W], -1, jnp.int32)
-        md, ms = jax.lax.fori_loop(0, nslots, body, (md, ms))
+        carry = (md, ms)
+        for s_i in range(nslots):
+            carry = body(s_i, carry)
+        md, ms = carry
         got = ms >= 0
         new_assign = slot_to_cluster(ms, got)
         new_dist = md
@@ -333,6 +348,34 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
     assignment = jnp.where(write, new_assign, old_assignment)
     min_dists = jnp.where(write, new_dist, min_dists_reset)
     return AssignResult(assignment, min_dists)
+
+
+def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
+    """Exact integer segment-sum as tiled one-hot matmuls (MXU path).
+
+    TPU scatter-add serializes (~10ms for 1M updates); the same reduction as
+    ``onehot(ids)^T @ vals`` runs on the MXU in ~0.05ms.  Exactness: tiles
+    are sized so every per-tile f32 partial sum stays below 2^24 (f32
+    integers are exact there), then partials are summed in int32 — this is
+    the TPU analog of the reference's thread-local uint32 accumulators +
+    critical merge (context.cpp:309-354).
+
+    ids: int32 [N] in [0, num_segments]; vals: int32 [N, V] with
+    |vals| <= max_val.  Returns int32 [num_segments + 1, V].
+    """
+    N, V = vals.shape
+    tile = 1 << max(7, min(13, int(math.floor(math.log2((1 << 24) / max(max_val, 1))))))
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    ids_p = jnp.concatenate([ids, jnp.full([pad], num_segments, ids.dtype)])
+    vals_p = jnp.concatenate([vals, jnp.zeros([pad, V], vals.dtype)])
+    idsr = ids_p.reshape(n_tiles, tile)
+    valsr = vals_p.reshape(n_tiles, tile, V).astype(jnp.float32)
+    oh = (idsr[..., None] == jnp.arange(num_segments + 1, dtype=ids.dtype)
+          ).astype(jnp.float32)
+    partial = jnp.einsum("btk,btv->bkv", oh, valsr,
+                         preferred_element_type=jnp.float32)
+    return jnp.sum(partial.astype(jnp.int32), axis=0)
 
 
 def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
@@ -353,7 +396,7 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
         [jnp.ones_like(ii), ii, jj, planes[..., 0], planes[..., 1], planes[..., 2]],
         axis=-1,
     ).reshape(-1, 6)
-    acc = jnp.zeros([K + 1, 6], jnp.int32).at[ids].add(vals)[:K]
+    acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
     counts = acc[:, 0]
     sums = acc[:, 1:]
 
@@ -472,8 +515,7 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
 
     lsc_feats = lsc_cent = lsc_w = None
     if cfg.variant == VARIANT_LSC:
-        lsc_feats, lsc_w = lsc_ops.features(
-            planes, cfg, jnp.asarray(scalars.c_spatial, jnp.float32))
+        lsc_feats, lsc_w = lsc_ops.features(planes, cfg, scalars.lsc_tables)
         lsc_cent = lsc_ops.seed_centroids(lsc_feats, st, cfg)
 
     # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
