@@ -103,6 +103,10 @@ class StaticConfig:
     # neighborhood of its S-cell, i.e. 9*cell_capacity candidate clusters.
     # Seeding places ~1 cluster per cell, so 4 is a generous safety factor.
     cell_capacity: int = 4
+    # Cap on connected components handled on-device by CCA; more than this
+    # (pathologically fragmented maps) flags a host re-run.  Sized so the
+    # component tables stay in fast on-chip memory.
+    max_components: int = 8192
 
     @property
     def S(self) -> int:

@@ -3,29 +3,32 @@
 The reference enforces that every output label is a single 4-connected blob
 of area >= threshold using a sequential union-find with row-parallel seams
 (``/root/reference/src/cca.cpp``).  Union-find is inherently sequential, so
-the TPU version re-derives the same *result* with data-parallel primitives:
+the TPU version re-derives the same *result* with data-parallel primitives,
+shaped by two measured TPU facts: gathers are fast only while the table
+fits on-chip (<= ~64K entries), and scatter-adds serialize (~10ns/element).
 
 1. components: every pixel starts as its own component (label = linear pixel
-   index) and repeatedly takes the min over equal-SLIC-label 4-neighbors,
-   interleaved with pointer-jumping (``L <- L[L]``) which doubles the
-   distance information travels per sweep.  At fixpoint, each component is
+   index) and repeatedly takes the min over equal-SLIC-label 4-neighbors.
+   Small images additionally use pointer jumping (``L <- L[L]``, a gather —
+   cheap below the table-size cliff); large images instead use *segmented
+   min scans* along rows and columns (associative_scan, gather-free), which
+   propagate across an entire straight run per sweep so convergence is
+   O(number of bends), not O(diameter).  At fixpoint each component is
    labeled by its minimum pixel index — exactly the "leader" the reference's
    min-parent union-find produces (cca.h:36-57).
-2. components are numbered by leader order (cca.cpp:103-173's flatten),
-   areas via segment-sum.
-3. area thresholding, top-K-by-area selection (ties to the smaller
-   component, matching partial_sort with a deterministic rule;
-   cca.cpp:212-230), renumbering kept components sequentially in leader
-   order (cca.cpp:235-238).
+2. components are renumbered compactly by leader order into [0, MAXC):
+   ``nonzero(size=MAXC)`` + ``searchsorted`` — no big-table gathers.  Areas
+   come from the one-hot-matmul segment sum (pipeline.segment_sum_matmul).
+3. area thresholding, top-K-by-area selection, renumbering kept components
+   sequentially in leader order (cca.cpp:212-238).
 4. orphan adoption: a dropped component takes the substitute label of its
-   leader's left (or up) neighbor (cca.cpp:240-254).  The sequential loop
-   resolves in increasing component order; since the adoption target always
-   has a strictly smaller component number, it is a DAG that pointer-jumping
-   resolves in O(log) gathers.
+   leader's left (or up) neighbor (cca.cpp:240-254), resolved by pointer
+   jumping over the [MAXC] component DAG.
 
-The numpy oracle (oracle/numpy_ref.py:enforce_connectivity_np) implements
-the same semantics with an actual union-find; equality is asserted in
-tests/test_cca.py including adversarial spiral patterns.
+Two rare cases are *flagged* for a bit-exact host re-run
+(native.enforce_connectivity_native): component-area ties exactly at the
+top-K boundary (where std::partial_sort's heap layout picks survivors), and
+more than MAXC components (pathologically fragmented label maps).
 """
 
 from __future__ import annotations
@@ -39,42 +42,78 @@ from ..config import UNASSIGNED
 
 _BIG = jnp.int32(0x7FFFFFFF)
 
+# Pointer-jump gathers stay fast while the [n] table is on-chip.
+_JUMP_TABLE_LIMIT = 1 << 16
+
+
+def _shifted(a, di, dj, fill):
+    """Shift with edge fill via concat (jnp.pad lowers poorly on TPU)."""
+    H, W = a.shape
+    if di == -1:
+        a = jnp.concatenate([jnp.full([1, W], fill, a.dtype), a[:-1]], 0)
+    elif di == 1:
+        a = jnp.concatenate([a[1:], jnp.full([1, W], fill, a.dtype)], 0)
+    if dj == -1:
+        a = jnp.concatenate([jnp.full([H, 1], fill, a.dtype), a[:, :-1]], 1)
+    elif dj == 1:
+        a = jnp.concatenate([a[:, 1:], jnp.full([H, 1], fill, a.dtype)], 1)
+    return a
+
 
 def _neighbor_min(L, labels):
     """Min over self + 4-neighbors with equal SLIC label."""
-    H, W = L.shape
-
-    # Explicit padded shifts (jnp.roll would wrap labels across edges).
-    def shifted(a, di, dj, fill):
-        padded = jnp.pad(a, ((1, 1), (1, 1)), constant_values=fill)
-        return padded[1 + di : 1 + di + H, 1 + dj : 1 + dj + W]
-
     out = L
     for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nl = shifted(labels, di, dj, -2)
-        nL = shifted(L, di, dj, _BIG)
+        nl = _shifted(labels, di, dj, -2)
+        nL = _shifted(L, di, dj, _BIG)
         out = jnp.minimum(out, jnp.where(nl == labels, nL, _BIG))
     return out
 
 
-def connected_components(labels):
-    """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index.
+def _seg_min_scan(L, labels, axis):
+    """Min of L over each maximal equal-label run along `axis` (both
+    directions), via segmented associative scans — no gathers."""
 
-    Runs propagate + double pointer-jump sweeps to fixpoint.
-    """
+    def seg_op(a, b):
+        # segmented-min combine: b.flag marks a segment start at b
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    def one_dir(L, flags, reverse):
+        v, _ = jax.lax.associative_scan(
+            seg_op, (L, flags), axis=axis, reverse=reverse)
+        return v
+
+    prev = _shifted(labels, -1, 0, -2) if axis == 0 else _shifted(labels, 0, -1, -2)
+    nxt = _shifted(labels, 1, 0, -2) if axis == 0 else _shifted(labels, 0, 1, -2)
+    flags_fwd = labels != prev
+    flags_bwd = labels != nxt
+    fwd = one_dir(L, flags_fwd, reverse=False)
+    bwd = one_dir(L, flags_bwd, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
+def connected_components(labels):
+    """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index."""
     H, W = labels.shape
     n = H * W
     L0 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    use_jumping = n <= _JUMP_TABLE_LIMIT
 
     def sweep(L):
-        L = _neighbor_min(L, labels)
-        f = L.reshape(-1)
-        f = f[f]
-        f = f[f]
-        return f.reshape(H, W)
+        if use_jumping:
+            L = _neighbor_min(L, labels)
+            f = L.reshape(-1)
+            f = f[f]
+            f = f[f]
+            return f.reshape(H, W)
+        L = _seg_min_scan(L, labels, axis=1)
+        L = _seg_min_scan(L, labels, axis=0)
+        return _neighbor_min(L, labels)
 
     def cond(carry):
-        L, changed = carry
+        _, changed = carry
         return changed
 
     def body(carry):
@@ -86,7 +125,8 @@ def connected_components(labels):
     return L
 
 
-def enforce_connectivity_xla(assignment, K: int, min_threshold):
+def enforce_connectivity_xla(assignment, K: int, min_threshold,
+                             max_components: int | None = None):
     """ConnectivityEnforcer::execute (cca.cpp:178-265), dense TPU version.
 
     assignment: int32 [H, W] (UNASSIGNED treated as a label of its own,
@@ -94,52 +134,52 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold):
     min_threshold: traced int32 scalar.
     Returns int32 [H, W] relabeled map.
     """
-    labels, _ = enforce_connectivity_xla_flagged(assignment, K, min_threshold)
+    labels, _ = enforce_connectivity_xla_flagged(
+        assignment, K, min_threshold, max_components)
     return labels
 
 
-def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold):
+def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
+                                     max_components: int | None = None):
     """Like :func:`enforce_connectivity_xla` but also returns a bool scalar
-    flagging the one case where this implementation can deviate from the
-    reference: more than K components pass the area threshold AND several
-    components *tie in area exactly at the K-th boundary*.  The reference's
-    std::partial_sort then keeps a heap-layout-dependent subset
-    (cca.cpp:226), while this path keeps the tied components with the
-    smallest numbers.  Callers wanting bit-parity re-run the host CCA
-    (native.enforce_connectivity_native) when the flag fires — it is rare,
-    and either choice is equally valid segmentation-wise (equal areas).
+    flagging the cases where this implementation can deviate from the
+    reference (see module docstring): top-K boundary-area ties, or more than
+    max_components components.  Callers wanting bit-parity re-run the host
+    CCA (native.enforce_connectivity_native) when the flag fires.
     """
+    from ..pipeline import segment_sum_matmul  # local import (no cycle at call time)
+
     H, W = assignment.shape
     n = H * W
+    maxc = min(n, max_components) if max_components else n
 
-    leaders_px = connected_components(assignment).reshape(-1)  # [n] leader pixel idx
+    L = connected_components(assignment).reshape(-1)
     iota = jnp.arange(n, dtype=jnp.int32)
-    is_leader = leaders_px == iota
-    # component number = rank of leader among leaders (leader order)
-    comp_of_leaderpos = jnp.cumsum(is_leader.astype(jnp.int32)) - 1
-    comp = comp_of_leaderpos[leaders_px]                       # [n]
-    num_components = comp_of_leaderpos[-1] + 1
+    is_leader = L == iota
+    num_components = jnp.sum(is_leader.astype(jnp.int32))
+    overflow = num_components > maxc
 
-    areas = jnp.zeros([n], jnp.int32).at[comp].add(1)
-    # leader pixel index per component
-    leader_of_comp = jnp.zeros([n], jnp.int32).at[
-        jnp.where(is_leader, comp, n - 1)
-    ].max(jnp.where(is_leader, iota, 0))
+    # compact renumbering in leader order
+    leader_list = jnp.nonzero(is_leader, size=maxc, fill_value=n)[0].astype(jnp.int32)
+    comp = jnp.searchsorted(leader_list, L, side="left").astype(jnp.int32)
+    comp = jnp.minimum(comp, maxc - 1)
 
-    valid_comp = iota < num_components
+    citoa = jnp.arange(maxc, dtype=jnp.int32)
+    areas = segment_sum_matmul(
+        comp, jnp.ones([n, 1], jnp.int32), maxc, max_val=1)[:maxc, 0]
+
+    valid_comp = citoa < num_components
     kept_pre = valid_comp & (areas >= min_threshold)
     num_above = jnp.sum(kept_pre.astype(jnp.int32))
 
-    # top-K by area among kept; ties -> smaller component number.
-    # jax.lax.top_k is stable (ties resolved to lower index).
-    k = min(K, n)
+    # top-K by area among kept; ties -> smaller component number
+    k = min(K, maxc)
     masked_areas = jnp.where(kept_pre, areas, -1)
     _, top_idx = jax.lax.top_k(masked_areas, k)
-    in_topk = jnp.zeros([n], bool).at[top_idx].set(True)
+    in_topk = jnp.zeros([maxc], bool).at[top_idx].set(True)
     kept = kept_pre & in_topk
 
-    # boundary-tie detection (see enforce_connectivity_xla_flagged doc)
-    kept_min = jnp.min(jnp.where(kept, areas, jnp.int32(0x7FFFFFFF)))
+    kept_min = jnp.min(jnp.where(kept, areas, _BIG))
     dropped_max = jnp.max(jnp.where(kept_pre & ~kept, areas, -1))
     boundary_tie = (num_above > k) & (dropped_max == kept_min)
 
@@ -147,26 +187,24 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold):
         kept, jnp.cumsum(kept.astype(jnp.int32)) - 1, UNASSIGNED
     ).astype(jnp.int32)
     # component 0 always gets a label (cca.cpp:238)
-    substitute = substitute.at[0].set(
-        jnp.where(kept[0], substitute[0], 0)
-    )
+    substitute = substitute.at[0].set(jnp.where(kept[0], substitute[0], 0))
 
-    # orphan adoption targets: component of leader's left/up neighbor
-    leader = leader_of_comp
+    # orphan adoption targets: component of the leader's left/up neighbor
+    leader = jnp.minimum(leader_list, n - 1)
     has_left = (leader % W) > 0
     nb = jnp.where(has_left, leader - 1, jnp.maximum(leader - W, 0))
-    target = comp[nb]
-    # comp 0's leader is pixel 0 (no neighbor) but it is always substituted.
-    target = jnp.where(iota == 0, 0, target)
+    target = comp[nb]                       # [maxc] gathered from pixel comps
+    target = jnp.where(citoa == 0, 0, target)
 
-    # resolve chains by pointer jumping: target comp number strictly
-    # decreases along a chain, so ceil(log2(n)) doublings suffice.
-    steps = max(1, math.ceil(math.log2(max(n, 2))))
+    # resolve chains (target strictly decreases) by pointer jumping
+    steps = max(1, math.ceil(math.log2(max(maxc, 2))))
+
     def jump(_, carry):
         sub, t = carry
         sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
         return sub, t[t]
+
     substitute, _ = jax.lax.fori_loop(0, steps, jump, (substitute, target))
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
-    return substitute[comp].reshape(H, W), boundary_tie
+    return substitute[comp].reshape(H, W), boundary_tie | overflow

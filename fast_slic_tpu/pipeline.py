@@ -209,17 +209,27 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
-    # Candidate table: per-cluster [y, x, r, g, b] (+10 LSC features).
+    # Candidate data is gathered ONCE at cell granularity ([GH, GW, 9P]
+    # indices — a few tens of KB) and then expanded to pixels with
+    # jnp.repeat, which is a broadcast, not a gather.  Pixel-granularity
+    # gathers ([H, W] indices) inside the fused slot loop are catastrophic
+    # on TPU (~2.5ms each; the whole assign pass was 90-1200ms depending on
+    # the table layout).
     table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)  # [K, 5] f32
+    safe_cand = jnp.maximum(cand, 0)
+    cdata = table[safe_cand]                     # [GH, GW, 9P, 5]
+    if lsc_cent is not None:
+        lsc_cdata = lsc_cent[safe_cand]          # [GH, GW, 9P, 10]
 
     quantized = variant == VARIANT_STANDARD
 
     def slot_data(s):
         ids = _expand_cells(cand[:, :, s], cfg)          # [H, W] int32
         valid = ids >= 0
-        safe = jnp.where(valid, ids, 0)
-        c = table[safe]                                   # [H, W, 5]
-        return ids, valid, safe, c
+        c = _expand_cells(cdata[:, :, s, :], cfg)        # [H, W, 5]
+        lc = (_expand_cells(lsc_cdata[:, :, s, :], cfg)
+              if lsc_cent is not None else None)         # [H, W, 10]
+        return ids, valid, lc, c
 
     def window_and_spatial(c, valid):
         """Window mask + spatial distance for patch-LUT variants
@@ -250,12 +260,13 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
     assert nslots < 128, "slot index must fit in 7 bits"
 
     def slot_to_cluster(slot, got):
-        """Map winning slot back to a cluster id via the candidate table."""
-        cell_px = (ii // S) * (cand.shape[1]) + (jj // S)
-        flat = cand.reshape(-1)
-        safe_idx = cell_px * nslots + jnp.where(got, slot, 0)
-        out = flat[safe_idx]
-        return jnp.where(got & (out >= 0), out, UNASSIGNED)
+        """Map winning slot back to a cluster id — as a select chain over the
+        (cell-expanded) candidate lists, never a pixel-granularity gather."""
+        out = jnp.full((H, W), UNASSIGNED, jnp.int32)
+        for s in range(nslots):
+            ids = _expand_cells(cand[:, :, s], cfg)
+            out = jnp.where(got & (slot == s) & (ids >= 0), ids, out)
+        return out
 
     if quantized:
         def body(s, m):
@@ -281,13 +292,12 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
     else:
         def body(s, carry):
             md, ms = carry
-            ids, valid, safe, c = slot_data(s)
+            ids, valid, lc, c = slot_data(s)
             if variant == VARIANT_LSC:
                 cy = c[..., 0].astype(jnp.int32)
                 cx = c[..., 1].astype(jnp.int32)
                 inwin = valid & (jnp.abs(ii - cy) <= S) & (jnp.abs(jj - cx) <= S)
-                cf = lsc_cent[safe]                      # [H, W, 10]
-                diff = lsc_feats - cf
+                diff = lsc_feats - lc
                 dist = jnp.sum(_nofma(diff * diff), axis=-1)
             elif variant == VARIANT_REAL_NOQ:
                 cy = c[..., 0]
@@ -580,7 +590,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
 
     # enforce_connectivity (context.cpp:15-20); thres precomputed host-side
     labels, cca_tie = enforce_connectivity_xla_flagged(
-        assignment, K, jnp.asarray(scalars.thres, jnp.int32))
+        assignment, K, jnp.asarray(scalars.thres, jnp.int32),
+        cfg.max_components)
     labels = jnp.where(labels == UNASSIGNED, -1, labels)
 
     snaps_out = None

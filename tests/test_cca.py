@@ -96,6 +96,27 @@ def test_checkerboard():
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_scan_path_matches_jumping(rng, monkeypatch):
+    # large images use gather-free segmented scans instead of pointer
+    # jumping; force that path on a small image and compare
+    from fast_slic_tpu.ops import cca as cca_mod
+    labels = rng.integers(0, 5, size=(40, 50)).astype(np.int32)
+    L_jump = np.asarray(connected_components(jnp.asarray(labels)))
+    monkeypatch.setattr(cca_mod, "_JUMP_TABLE_LIMIT", 1)
+    L_scan = np.asarray(cca_mod.connected_components(jnp.asarray(labels)))
+    np.testing.assert_array_equal(L_scan, L_jump)
+
+
+def test_maxc_overflow_flag(rng):
+    # a checkerboard has ~n/2 components; with a small max_components the
+    # device path must raise the flag so the host re-runs CCA
+    from fast_slic_tpu.ops.cca import enforce_connectivity_xla_flagged
+    labels = (np.indices((16, 16)).sum(axis=0) % 2).astype(np.int32)
+    _, flag = enforce_connectivity_xla_flagged(
+        jnp.asarray(labels), 4, jnp.int32(1), max_components=16)
+    assert bool(np.asarray(flag))
+
+
 def test_connected_components_leaders(rng):
     labels = rng.integers(0, 3, size=(15, 17)).astype(np.int32)
     L = np.asarray(connected_components(jnp.asarray(labels)))
