@@ -107,6 +107,10 @@ class StaticConfig:
     # (pathologically fragmented maps) flags a host re-run.  Sized so the
     # component tables stay in fast on-chip memory.
     max_components: int = 8192
+    # Per-pixel candidate list length after visit-order compaction.  Valid
+    # candidates sort to the front, so this truncates only when a 3x3 cell
+    # neighborhood holds more than cand_slots active clusters (flagged).
+    cand_slots: int = 24
 
     @property
     def S(self) -> int:

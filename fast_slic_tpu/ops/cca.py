@@ -70,47 +70,28 @@ def _neighbor_min(L, labels):
     return out
 
 
-def _seg_min_scan(L, labels, axis):
-    """Min of L over each maximal equal-label run along `axis` (both
-    directions), via segmented associative scans — no gathers."""
-
-    def seg_op(a, b):
-        # segmented-min combine: b.flag marks a segment start at b
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
-
-    def one_dir(L, flags, reverse):
-        v, _ = jax.lax.associative_scan(
-            seg_op, (L, flags), axis=axis, reverse=reverse)
-        return v
-
-    prev = _shifted(labels, -1, 0, -2) if axis == 0 else _shifted(labels, 0, -1, -2)
-    nxt = _shifted(labels, 1, 0, -2) if axis == 0 else _shifted(labels, 0, 1, -2)
-    flags_fwd = labels != prev
-    flags_bwd = labels != nxt
-    fwd = one_dir(L, flags_fwd, reverse=False)
-    bwd = one_dir(L, flags_bwd, reverse=True)
-    return jnp.minimum(fwd, bwd)
-
-
 def connected_components(labels):
-    """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index."""
+    """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index.
+
+    Small images: neighbor-min sweeps + pointer jumping (the [n] gather
+    table stays on-chip).  Large images: the Pallas strip kernel with
+    segmented doubling (pallas/cca_tpu.py) — big-table gathers and
+    associative scans are both slow on TPU.
+    """
     H, W = labels.shape
     n = H * W
+    if n > _JUMP_TABLE_LIMIT:
+        from ..pallas.cca_tpu import connected_components_pallas
+        return connected_components_pallas(labels)
+
     L0 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
-    use_jumping = n <= _JUMP_TABLE_LIMIT
 
     def sweep(L):
-        if use_jumping:
-            L = _neighbor_min(L, labels)
-            f = L.reshape(-1)
-            f = f[f]
-            f = f[f]
-            return f.reshape(H, W)
-        L = _seg_min_scan(L, labels, axis=1)
-        L = _seg_min_scan(L, labels, axis=0)
-        return _neighbor_min(L, labels)
+        L = _neighbor_min(L, labels)
+        f = L.reshape(-1)
+        f = f[f]
+        f = f[f]
+        return f.reshape(H, W)
 
     def cond(carry):
         _, changed = carry

@@ -134,9 +134,24 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
         mask = mask & pixel_mask
     ids = jnp.where(mask, assignment, K).ravel()
 
-    wf = (feats * weights[..., None]).reshape(-1, 10)
-    acc = jnp.zeros([K + 1, 10], jnp.float32).at[ids].add(wf)[:K]
-    wsum = jnp.zeros([K + 1], jnp.float32).at[ids].add(weights.ravel())[:K]
+    # w-weighted feature sums as a one-hot matmul (TPU scatters serialize;
+    # see pipeline.segment_sum_matmul).  Accumulation is f32 like the
+    # reference's thread-local float accumulators (lsc.cpp:245-297).
+    wf = jnp.concatenate(
+        [(feats * weights[..., None]).reshape(-1, 10),
+         weights.reshape(-1, 1)], axis=1)
+    tile = 4096
+    N = wf.shape[0]
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    ids_p = jnp.concatenate([ids, jnp.full([pad], K, ids.dtype)])
+    wf_p = jnp.concatenate([wf, jnp.zeros([pad, 11], wf.dtype)])
+    oh = (ids_p.reshape(n_tiles, tile)[..., None]
+          == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
+    acc11 = jnp.einsum("btk,btv->kv", oh, wf_p.reshape(n_tiles, tile, 11),
+                       preferred_element_type=jnp.float32)
+    acc = acc11[:K, :10]
+    wsum = acc11[:K, 10]
 
     upd = st.is_updatable != 0
     base = jnp.where(upd[:, None], acc, cent)

@@ -135,7 +135,18 @@ def build_candidates(y, x, is_active, cfg: StaticConfig):
     key = visit_order_key(y, x, cfg)
     cand_key = jnp.where(cand >= 0, key[jnp.maximum(cand, 0)], jnp.int32(2**30))
     sort_idx = jnp.argsort(cand_key, axis=-1)
-    return jnp.take_along_axis(cand, sort_idx, axis=-1)
+    cand = jnp.take_along_axis(cand, sort_idx, axis=-1)
+
+    # Compaction: valid candidates are now in the leading slots; truncate to
+    # cand_slots.  Overflow (a dropped real candidate, either here or in the
+    # P-per-cell bucketing) is flagged so the caller can re-run with a
+    # larger capacity.
+    overflow = jnp.any((rank >= P) & (sc < num_cells))
+    C = min(cand.shape[-1], cfg.cand_slots)
+    if C < cand.shape[-1]:
+        overflow = overflow | jnp.any(cand[:, :, C] >= 0)
+        cand = cand[:, :, :C]
+    return cand, overflow
 
 
 def _expand_cells(a, cfg: StaticConfig):
@@ -158,6 +169,8 @@ class IterateOut(NamedTuple):
     snaps: object                # debug recorder snapshots or None
     raw_assignment: jnp.ndarray  # pre-CCA assignment (int32, UNASSIGNED ok)
     cca_tie: jnp.ndarray         # bool: host CCA re-run needed for bit-parity
+    cand_overflow: jnp.ndarray   # bool: candidate capacity exceeded; re-run
+                                 # with a larger cell_capacity/cand_slots
 
 
 class DerivedScalars(NamedTuple):
@@ -550,9 +563,10 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
     rems = jnp.array([i % stride for i in range(max_iter)], jnp.int32)
 
     def loop_body(carry, rem):
-        st, assignment, pixel_mask, lsc_cent_c = carry
+        st, assignment, pixel_mask, lsc_cent_c, cov_acc = carry
         st = _clamp_centers(st, cfg)
-        cand = build_candidates(st.y, st.x, st.is_active, cfg)
+        cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
+        cov_acc = cov_acc | cov
         res = assign_xla(planes, st, cand, cfg, coef, assignment,
                          rem, stride, lsc_feats, lsc_cent_c)
         assignment, min_dists = res
@@ -568,10 +582,12 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
                 st, old_y, old_x, cfg,
                 jnp.asarray(scalars.l1_thres, jnp.float32))
         out = (assignment, min_dists, st) if cfg.debug_mode else None
-        return (st, assignment, pixel_mask, lsc_cent_c), out
+        return (st, assignment, pixel_mask, lsc_cent_c, cov_acc), out
 
-    (st, assignment, pixel_mask, lsc_cent), scan_snaps = jax.lax.scan(
-        loop_body, (st, assignment, pixel_mask, lsc_cent), rems)
+    (st, assignment, pixel_mask, lsc_cent, cand_overflow), scan_snaps = (
+        jax.lax.scan(
+            loop_body,
+            (st, assignment, pixel_mask, lsc_cent, jnp.bool_(False)), rems))
 
     # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
     st = Clusters(
@@ -583,7 +599,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
 
     # full_assign (context.cpp:179-181): stride 1, rem 0
     st = _clamp_centers(st, cfg)
-    cand = build_candidates(st.y, st.x, st.is_active, cfg)
+    cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
+    cand_overflow = cand_overflow | cov
     res = assign_xla(planes, st, cand, cfg, coef, assignment,
                      0, 1, lsc_feats, lsc_cent)
     assignment, min_dists = res
@@ -605,7 +622,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
             jax.tree.map(lambda x0, xs: jnp.concatenate([x0[None], xs]),
                          st0, sst),
         )
-    return IterateOut(labels, st, min_dists, snaps_out, assignment, cca_tie)
+    return IterateOut(labels, st, min_dists, snaps_out, assignment, cca_tie,
+                      cand_overflow)
 
 
 @functools.lru_cache(maxsize=128)

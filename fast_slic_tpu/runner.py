@@ -25,8 +25,13 @@ class Report(NamedTuple):
 
 
 def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
-                params: RuntimeParams):
-    """Execute iterate(); returns (labels int16 np [H,W], Clusters, Report)."""
+                params: RuntimeParams, _escalation: int = 0):
+    """Execute iterate(); returns (labels int16 np [H,W], Clusters, Report).
+
+    If the pipeline flags candidate-capacity overflow (clusters crowding a
+    cell beyond cell_capacity / cand_slots — possible only with extreme
+    centroid drift), re-runs with 4x capacity, up to two escalations.
+    """
     timer = Timer()
     recorder_json = ""
     with timer.scope("iterate"):
@@ -40,6 +45,15 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
             out = fn(image, jax.tree.map(jax.numpy.asarray, clusters),
                      scalars)
             out = jax.block_until_ready(out)
+        if bool(np.asarray(out.cand_overflow)) and _escalation < 2:
+            import dataclasses
+            bigger = dataclasses.replace(
+                cfg,
+                cell_capacity=cfg.cell_capacity * 4,
+                cand_slots=min(9 * cfg.cell_capacity * 4, 120),
+            )
+            return run_iterate(bigger, image, clusters, params,
+                               _escalation + 1)
         with timer.scope("write_back"):
             st_dev, snaps = out.clusters, out.snaps
             labels = np.asarray(out.labels).astype(np.int16)
