@@ -127,42 +127,89 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     reference (see module docstring): top-K boundary-area ties, or more than
     max_components components.  Callers wanting bit-parity re-run the host
     CCA (native.enforce_connectivity_native) when the flag fires.
+
+    Implementation notes (all shaped by measured TPU behavior): NO
+    pixel-granularity gathers/scatters, NO searchsorted/nonzero/top_k —
+    those execute serially (~7 ns/element) inside composed programs.
+    Components are numbered by a 2-D prefix count of leaders; per-pixel
+    component ids and the final relabeling are *value propagations* over the
+    same Pallas kernel that finds the components; areas/leaders come from
+    the one-hot-matmul segment sum; and the top-K area cutoff is an
+    elementwise binary search over the area value range.
     """
-    from ..pipeline import segment_sum_matmul  # local import (no cycle at call time)
+    from ..pipeline import segment_sum_matmul
+    from ..pallas.cca_tpu import propagate_min_pallas
 
     H, W = assignment.shape
     n = H * W
     maxc = min(n, max_components) if max_components else n
+    small = n <= _JUMP_TABLE_LIMIT
 
-    L = connected_components(assignment).reshape(-1)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    is_leader = L == iota
-    num_components = jnp.sum(is_leader.astype(jnp.int32))
+    L2 = connected_components(assignment)              # [H, W] leader ids
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    iota2 = ii * W + jj
+    is_leader = L2 == iota2
+    il = is_leader.astype(jnp.int32)
+
+    # component number = rank of leader in row-major order (2-D prefix count)
+    row_counts = jnp.sum(il, axis=1)
+    row_offsets = jnp.cumsum(row_counts) - row_counts
+    in_row = jnp.cumsum(il, axis=1) - il
+    rank2 = row_offsets[:, None] + in_row               # exclusive prefix
+    num_components = row_offsets[-1] + row_counts[-1]
     overflow = num_components > maxc
 
-    # compact renumbering in leader order
-    leader_list = jnp.nonzero(is_leader, size=maxc, fill_value=n)[0].astype(jnp.int32)
-    comp = jnp.searchsorted(leader_list, L, side="left").astype(jnp.int32)
-    comp = jnp.minimum(comp, maxc - 1)
+    # per-pixel component id: propagate the leader's rank over its component
+    comp_seed = jnp.where(is_leader, jnp.minimum(rank2, maxc - 1), _BIG)
+    if small:
+        comp2 = rank2.reshape(-1)[L2.reshape(-1)].reshape(H, W)
+        comp2 = jnp.minimum(comp2, maxc - 1)
+    else:
+        comp2 = propagate_min_pallas(assignment, comp_seed,
+                                     reach=_slic_reach(assignment.shape))
+    comp_flat = comp2.reshape(-1)
+
+    # areas + leader index per component in ONE segment-sum (leader pixel id
+    # split into <2^16 halves so the matmul stays exact)
+    pid_hi = iota2 >> 8
+    pid_lo = iota2 & 0xFF
+    vals = jnp.stack(
+        [jnp.ones_like(il), jnp.where(is_leader, pid_hi, 0),
+         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 3)
+    acc = segment_sum_matmul(comp_flat, vals, maxc,
+                             max_val=max(n >> 8, 255))[:maxc]
+    areas = acc[:, 0]
+    leader_of_comp = acc[:, 1] * 256 + acc[:, 2]
 
     citoa = jnp.arange(maxc, dtype=jnp.int32)
-    areas = segment_sum_matmul(
-        comp, jnp.ones([n, 1], jnp.int32), maxc, max_val=1)[:maxc, 0]
-
     valid_comp = citoa < num_components
     kept_pre = valid_comp & (areas >= min_threshold)
-    num_above = jnp.sum(kept_pre.astype(jnp.int32))
-
-    # top-K by area among kept; ties -> smaller component number
+    count_pre = jnp.sum(kept_pre.astype(jnp.int32))
     k = min(K, maxc)
-    masked_areas = jnp.where(kept_pre, areas, -1)
-    _, top_idx = jax.lax.top_k(masked_areas, k)
-    in_topk = jnp.zeros([maxc], bool).at[top_idx].set(True)
-    kept = kept_pre & in_topk
 
-    kept_min = jnp.min(jnp.where(kept, areas, _BIG))
-    dropped_max = jnp.max(jnp.where(kept_pre & ~kept, areas, -1))
-    boundary_tie = (num_above > k) & (dropped_max == kept_min)
+    # K-th-largest-area threshold via elementwise binary search on the value
+    # range: find minimal T with |{areas > T}| < k  (top_k lowers to a slow
+    # serial sort at this scale)
+    def cnt_gt(T):
+        return jnp.sum((kept_pre & (areas > T)).astype(jnp.int32))
+
+    def bs_body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        p = cnt_gt(mid) < k
+        return jnp.where(p, lo, mid + 1), jnp.where(p, mid, hi)
+
+    steps = max(1, math.ceil(math.log2(max(n + 1, 2))))
+    lo, hi = jax.lax.fori_loop(
+        0, steps, bs_body, (jnp.int32(0), jnp.int32(n)))
+    T = lo
+    n_gt = cnt_gt(T)
+    fill = k - n_gt
+    eq = kept_pre & (areas == T)
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32))          # inclusive
+    kept = (kept_pre & (areas > T)) | (eq & (eq_rank <= fill))
+    boundary_tie = (count_pre > k) & (fill < jnp.sum(eq.astype(jnp.int32)))
 
     substitute = jnp.where(
         kept, jnp.cumsum(kept.astype(jnp.int32)) - 1, UNASSIGNED
@@ -171,21 +218,41 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     substitute = substitute.at[0].set(jnp.where(kept[0], substitute[0], 0))
 
     # orphan adoption targets: component of the leader's left/up neighbor
-    leader = jnp.minimum(leader_list, n - 1)
+    leader = jnp.clip(leader_of_comp, 0, n - 1)
     has_left = (leader % W) > 0
     nb = jnp.where(has_left, leader - 1, jnp.maximum(leader - W, 0))
-    target = comp[nb]                       # [maxc] gathered from pixel comps
+    target = comp_flat[nb]                 # [maxc] indices: small gather
     target = jnp.where(citoa == 0, 0, target)
 
-    # resolve chains (target strictly decreases) by pointer jumping
-    steps = max(1, math.ceil(math.log2(max(maxc, 2))))
+    jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
 
     def jump(_, carry):
         sub, t = carry
         sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
         return sub, t[t]
 
-    substitute, _ = jax.lax.fori_loop(0, steps, jump, (substitute, target))
+    substitute, _ = jax.lax.fori_loop(0, jump_steps, jump,
+                                      (substitute, target))
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
-    return substitute[comp].reshape(H, W), boundary_tie | overflow
+    # final relabel: propagate each leader's substitute over its component
+    if small:
+        out = substitute[comp_flat].reshape(H, W)
+    else:
+        seed_ids = jnp.where(valid_comp, leader, n)
+        sub_seed = jnp.full([n + 1], _BIG, jnp.int32
+                            ).at[seed_ids].set(substitute)[:n].reshape(H, W)
+        m0 = jnp.where(is_leader, sub_seed, _BIG)
+        out = propagate_min_pallas(assignment, m0,
+                                   reach=_slic_reach(assignment.shape))
+    return out, boundary_tie | overflow
+
+
+def _slic_reach(shape):
+    """Horizontal doubling reach for the propagation kernel: SLIC runs are
+    bounded by the component diameter ~2S+1; cap a bit above it (longer
+    adversarial runs just take extra fixpoint passes)."""
+    H, W = shape
+    import math as _m
+    S = max(1, int(_m.sqrt((H * W) / 64)))  # conservative: K >= 64
+    return min(W, 4 * S + 2)

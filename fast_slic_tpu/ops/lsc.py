@@ -149,7 +149,8 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
     oh = (ids_p.reshape(n_tiles, tile)[..., None]
           == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
     acc11 = jnp.einsum("btk,btv->kv", oh, wf_p.reshape(n_tiles, tile, 11),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     acc = acc11[:K, :10]
     wsum = acc11[:K, 10]
 

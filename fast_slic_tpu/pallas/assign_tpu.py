@@ -1,0 +1,183 @@
+"""Fused SLIC assignment as a Pallas TPU kernel (standard/quantized variant).
+
+One kernel pass computes, for a 64-row strip of the image held in VMEM, the
+argmin over the per-cell candidate lists — the entire hot loop of
+``BaseContext::assign`` (reference ``context.cpp:200-298``) with the
+reference's visit-order tie-breaking.
+
+The trick is the cell->pixel *expansion*: a pixel's candidates depend only on
+its S-cell, so per-slot candidate fields ([GH, GW] cell grids) must be
+broadcast to pixel resolution.  Gathers at pixel granularity are slow on TPU
+and Mosaic has no lane-gather; instead the expansion is written as two 0/1
+*selection matmuls* on the MXU:
+
+    pixels[64, Wp] = rowsel[64, GH] @ field[GH, GW] @ colsel[GW, Wp]
+
+with rowsel/colsel built from iota compares (rowsel[r, g] = 1 iff row r lies
+in cell row g).  Each product has exactly one nonzero term, and field values
+are < 2^24, so the f32 matmul is exact.  Everything else is VPU int math
+identical to the XLA oracle path, so the kernel is bit-compatible with it.
+
+VMEM per strip: 3 pixel planes + old/new assignment + ~8 temporaries at
+[64, Wp] int32 (~4 MB for 720p) plus the full candidate tables (~1 MB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import StaticConfig, UNASSIGNED
+
+_U32_MAX = 0xFFFFFFFF
+
+
+def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
+                   cv_ref, cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
+                   out_a_ref, out_d_ref, *, S, GH, GW, C, rows, W_real,
+                   H_real, manhattan):
+    gi = pl.program_id(0)
+    Wp = p0_ref.shape[1]
+    coef = scal_ref[0]
+    rem = scal_ref[1].astype(jnp.int32)
+    stride = scal_ref[2].astype(jnp.int32)
+
+    row_abs0 = gi * rows  # first absolute row of this strip
+
+    # selection matrices from iota compares
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 0)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 1)
+    rowsel = ((row_abs0 + r_iota) // S == g_iota).astype(jnp.float32)
+
+    gc_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
+    colsel = (j_iota // S == gc_iota).astype(jnp.float32)
+
+    # row-expand all candidate tables at once: [rows, C*GW]
+    def rowx(ref):
+        # HIGHEST: the MXU's default "f32" matmul truncates operands to
+        # bf16, corrupting integer fields >= 256
+        return jax.lax.dot(rowsel, ref[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    ey, ex, er, eg, eb, ev = (rowx(r) for r in
+                              (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cv_ref))
+
+    ii = row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
+
+    def lanex(e, s):
+        return jax.lax.dot(e[:, s * GW:(s + 1) * GW], colsel,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    p0 = p0_ref[:]
+    p1 = p1_ref[:]
+    p2 = p2_ref[:]
+
+    # int32 packing (dist << 7 | slot): dist is < 2^16 for sane configs and
+    # int32 avoids Mosaic uint32 quirks; sentinel is INT32_MAX
+    m = jnp.full((rows, Wp), 0x7FFFFFFF, jnp.int32)
+    for s in range(C):
+        cy = lanex(ey, s).astype(jnp.int32)
+        cx = lanex(ex, s).astype(jnp.int32)
+        valid = lanex(ev, s) > 0.5
+        di = ii - cy
+        dj = jj - cx
+        inwin = valid & (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+        if manhattan:
+            spf = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
+        else:
+            dif = di.astype(jnp.float32)
+            djf = dj.astype(jnp.float32)
+            # minimum() blocks FMA contraction (see pipeline._nofma)
+            spf = coef * jnp.sqrt(
+                jnp.minimum(dif * dif, jnp.float32(3.4e38))
+                + jnp.minimum(djf * djf, jnp.float32(3.4e38)))
+        sp = jnp.trunc(spf).astype(jnp.int32)
+        cr = lanex(er, s).astype(jnp.int32)
+        cg = lanex(eg, s).astype(jnp.int32)
+        cb = lanex(eb, s).astype(jnp.int32)
+        cd = jnp.abs(p0 - cr) + jnp.abs(p1 - cg) + jnp.abs(p2 - cb)
+        dist = sp + cd
+        packed = (dist << 7) | s
+        m = jnp.minimum(m, jnp.where(inwin, packed,
+                                     jnp.full_like(m, 0x7FFFFFFF)))
+
+    got = m != 0x7FFFFFFF
+    slot = m & 0x7F
+
+    # winner slot -> cluster id (select chain over expanded id tables)
+    eid = rowx(cid_ref)
+    new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
+    for s in range(C):
+        cid = lanex(eid, s).astype(jnp.int32)
+        new_assign = jnp.where(got & (slot == s) & (cid >= 0), cid,
+                               new_assign)
+
+    rowmask = (ii % stride) == rem
+    write = rowmask & got & (new_assign != UNASSIGNED)
+    out_a_ref[:] = jnp.where(write, new_assign, old_ref[:])
+    out_d_ref[:] = jnp.where(write, m >> 7, jnp.full_like(m, 0xFFFF))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "GH", "GW", "C", "H", "W", "manhattan",
+                     "interpret"))
+def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
+                           stride, *, S, GH, GW, C, H, W, manhattan,
+                           interpret):
+    """Run the fused assign pass.
+
+    planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
+    rounded up to a lane multiple); old_assign int32 [Hp, Wp];
+    cell_fields: tuple of 7 f32 [GH, C*GW] arrays (y, x, r, g, b, valid, id).
+    Returns (assignment int32 [Hp, Wp], min_dists int32 [Hp, Wp]).
+    """
+    _, Hp, Wp = planes3.shape
+    rows = 64
+    n_strips = Hp // rows
+    strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal = jnp.stack([coef.astype(jnp.float32),
+                      rem.astype(jnp.float32),
+                      stride.astype(jnp.float32)])
+
+    kernel = functools.partial(
+        _assign_kernel, S=S, GH=GH, GW=GW, C=C, rows=rows, W_real=W,
+        H_real=H, manhattan=manhattan)
+    out_a, out_d = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [full] * 7 +
+                 [strip, strip, strip, strip],
+        out_specs=(strip, strip),
+        out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)),
+        interpret=interpret,
+    )(scal, *cell_fields, planes3[0], planes3[1], planes3[2], old_assign)
+    return out_a, out_d
+
+
+def prepare_cell_fields(cand, table):
+    """cand [GH, GW, C] int32, table [K, 5] f32 -> 7 f32 [GH, C*GW] arrays."""
+    GH, GW, C = cand.shape
+    safe = jnp.maximum(cand, 0)
+    cdata = table[safe]                         # [GH, GW, C, 5]
+    valid = (cand >= 0).astype(jnp.float32)
+
+    def fold(a):
+        # [GH, GW, C] -> [GH, C, GW] -> [GH, C*GW]
+        return jnp.swapaxes(a, 1, 2).reshape(GH, C * GW).astype(jnp.float32)
+
+    fields = [fold(cdata[..., i]) for i in range(5)]
+    fields.append(fold(valid))
+    fields.append(fold(cand.astype(jnp.float32)))
+    return tuple(fields)

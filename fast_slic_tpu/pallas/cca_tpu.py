@@ -51,14 +51,17 @@ def _roll_masked(x, shift, axis, fill):
     return jnp.where(mask, rolled, jnp.full_like(x, fill))
 
 
-def _seg_doubling(m, lab, axis):
+def _seg_doubling(m, lab, axis, reach=None):
     """Segmented min-doubling along `axis`, both directions.
 
     m: int32 running min (candidate component ids), lab: labels.
     Returns m where every element holds the min over its maximal
-    equal-label run along the axis.
+    equal-label run along the axis (up to `reach` elements away; the outer
+    fixpoint loop covers longer runs).
     """
     n = m.shape[axis]
+    if reach is not None:
+        n = min(n, reach)
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
     for direction in (1, -1):
         cur = m
@@ -76,8 +79,19 @@ def _seg_doubling(m, lab, axis):
     return m
 
 
+def _neighbor_min_strip(m, lab):
+    """One 4-neighbor min exchange inside the strip (diagonal coupling the
+    axis-aligned doubling can miss converges faster with it)."""
+    out = m
+    for axis, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        nl = _roll_masked(lab, sh, axis, -2)
+        nm = _roll_masked(m, sh, axis, _BIG)
+        out = jnp.minimum(out, jnp.where(nl == lab, nm, jnp.full_like(m, _BIG)))
+    return out
+
+
 def _cc_pass_kernel(lab_ref, labu_ref, labd_ref, m_ref, mu_ref, md_ref,
-                    out_ref):
+                    out_ref, *, reach):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     lab = lab_ref[:]
@@ -97,15 +111,17 @@ def _cc_pass_kernel(lab_ref, labu_ref, labd_ref, m_ref, mu_ref, md_ref,
                      jnp.full_like(last, _BIG))
     m = jnp.concatenate([m[:-1, :], jnp.minimum(m[-1:, :], dn_m)], axis=0)
 
-    # in-strip propagation to (near-)fixpoint: alternate the two axes
-    for _ in range(2):
-        m = _seg_doubling(m, lab, axis=1)
-        m = _seg_doubling(m, lab, axis=0)
+    # in-strip propagation: one horizontal + one vertical doubling round
+    # per pass (the outer fixpoint loop handles winding components), with
+    # horizontal reach capped by the SLIC component diameter.
+    m = _seg_doubling(m, lab, axis=1, reach=reach)
+    m = _seg_doubling(m, lab, axis=0)
+    m = _neighbor_min_strip(m, lab)
     out_ref[:] = m
 
 
-@functools.partial(jax.jit, static_argnames=("strip", "interpret"))
-def _cc_passes(labels, m, strip: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("strip", "interpret", "reach"))
+def _cc_passes(labels, m, strip: int, interpret: bool, reach: int):
     Hp, W = labels.shape
     n_strips = Hp // strip
 
@@ -122,7 +138,7 @@ def _cc_passes(labels, m, strip: int, interpret: bool):
 
     strip_spec = pl.BlockSpec((strip, W), lambda i: (i, 0))
     return pl.pallas_call(
-        _cc_pass_kernel,
+        functools.partial(_cc_pass_kernel, reach=reach),
         grid=(n_strips,),
         in_specs=[strip_spec, edge_spec(-1), edge_spec(+1),
                   strip_spec, edge_spec(-1), edge_spec(+1)],
@@ -132,20 +148,22 @@ def _cc_passes(labels, m, strip: int, interpret: bool):
     )(labels, labels, labels, m, m, m)
 
 
-def connected_components_pallas(labels, strip: int = 64,
-                                interpret: bool | None = None):
-    """[H, W] labels -> [H, W] component ids (min linear pixel index)."""
+def propagate_min_pallas(labels, m0, strip: int = 64,
+                         interpret: bool | None = None,
+                         reach: int | None = None):
+    """Propagate the component-wise minimum of m0 over 4-connected
+    equal-label regions to fixpoint.  labels, m0: [H, W] int32 (use _BIG-like
+    large values in m0 for "no value here")."""
     H, W = labels.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if reach is None:
+        reach = W
     Hp = -(-H // strip) * strip
     Wp = -(-W // 128) * 128
     lab_p = jnp.full((Hp, Wp), -7, jnp.int32)
     lab_p = lab_p.at[:H, :W].set(labels.astype(jnp.int32))
-    # component ids over the padded grid, restricted to real pixels
-    iota = (jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0) * W
-            + jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1))
-    m0 = jnp.where(lab_p != -7, iota, jnp.int32(_BIG))
+    m_p = jnp.full((Hp, Wp), _BIG, jnp.int32).at[:H, :W].set(m0)
 
     def cond(carry):
         _, changed = carry
@@ -153,8 +171,18 @@ def connected_components_pallas(labels, strip: int = 64,
 
     def body(carry):
         m, _ = carry
-        m2 = _cc_passes(lab_p, m, strip, interpret)
+        m2 = _cc_passes(lab_p, m, strip, interpret, reach)
         return m2, jnp.any(m2 != m)
 
-    m, _ = jax.lax.while_loop(cond, body, (m0, jnp.bool_(True)))
+    m, _ = jax.lax.while_loop(cond, body, (m_p, jnp.bool_(True)))
     return m[:H, :W]
+
+
+def connected_components_pallas(labels, strip: int = 64,
+                                interpret: bool | None = None,
+                                reach: int | None = None):
+    """[H, W] labels -> [H, W] component ids (min linear pixel index)."""
+    H, W = labels.shape
+    iota = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+            + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    return propagate_min_pallas(labels, iota, strip, interpret, reach)

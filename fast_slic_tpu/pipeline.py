@@ -374,31 +374,62 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
 
 
 def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
-    """Exact integer segment-sum as tiled one-hot matmuls (MXU path).
+    """Exact integer segment-sum: ids int32 [N] in [0, num_segments], vals
+    int32 [N, V] with 0 <= vals <= max_val < 2^16.  Returns int32
+    [num_segments + 1, V].
 
-    TPU scatter-add serializes (~10ms for 1M updates); the same reduction as
-    ``onehot(ids)^T @ vals`` runs on the MXU in ~0.05ms.  Exactness: tiles
-    are sized so every per-tile f32 partial sum stays below 2^24 (f32
-    integers are exact there), then partials are summed in int32 — this is
-    the TPU analog of the reference's thread-local uint32 accumulators +
-    critical merge (context.cpp:309-354).
-
-    ids: int32 [N] in [0, num_segments]; vals: int32 [N, V] with
-    |vals| <= max_val.  Returns int32 [num_segments + 1, V].
+    Implemented as a Pallas kernel (pallas/segsum_tpu.py): TPU scatter-adds
+    serialize, and the XLA one-hot einsum materializes the [N, K] one-hot in
+    HBM when unfused (~30 GB/frame measured).  The kernel builds each tile's
+    one-hot in VMEM and runs exact bf16 hi/lo matmuls on the MXU — the TPU
+    analog of the reference's thread-local accumulators + critical merge
+    (context.cpp:309-354).
     """
-    N, V = vals.shape
-    tile = 1 << max(7, min(13, int(math.floor(math.log2((1 << 24) / max(max_val, 1))))))
-    n_tiles = -(-N // tile)
-    pad = n_tiles * tile - N
-    ids_p = jnp.concatenate([ids, jnp.full([pad], num_segments, ids.dtype)])
-    vals_p = jnp.concatenate([vals, jnp.zeros([pad, V], vals.dtype)])
-    idsr = ids_p.reshape(n_tiles, tile)
-    valsr = vals_p.reshape(n_tiles, tile, V).astype(jnp.float32)
-    oh = (idsr[..., None] == jnp.arange(num_segments + 1, dtype=ids.dtype)
-          ).astype(jnp.float32)
-    partial = jnp.einsum("btk,btv->bkv", oh, valsr,
-                         preferred_element_type=jnp.float32)
-    return jnp.sum(partial.astype(jnp.int32), axis=0)
+    assert max_val < (1 << 16)
+    from .pallas.segsum_tpu import segment_sum_pallas
+    interp = jax.default_backend() != "tpu"
+    out = segment_sum_pallas(ids, jnp.transpose(vals), num_segments, interp)
+    return jnp.transpose(out)
+
+
+def _pad_planes_for_pallas(planes, cfg: StaticConfig):
+    """[H, W, 3] int32 -> [3, Hp, Wp] padded for the 64-row strip kernel."""
+    H, W = cfg.H, cfg.W
+    Hp = -(-H // 64) * 64
+    Wp = -(-W // 128) * 128
+    p3 = jnp.zeros((3, Hp, Wp), jnp.int32)
+    return p3.at[:, :H, :W].set(jnp.moveaxis(planes, -1, 0))
+
+
+def _use_pallas_assign(cfg: StaticConfig) -> bool:
+    from .config import ARCH_PALLAS
+    return (cfg.arch == ARCH_PALLAS and cfg.variant == VARIANT_STANDARD)
+
+
+def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
+                    old_assignment, rem, stride, lsc_feats=None,
+                    lsc_cent=None) -> AssignResult:
+    """Route one assign pass to the Pallas kernel (fast arch, standard
+    variant) or the XLA oracle path.  Both are bit-compatible."""
+    if _use_pallas_assign(cfg) and planes3_padded is not None:
+        from .pallas.assign_tpu import (assign_pallas_standard,
+                                        prepare_cell_fields)
+        H, W = cfg.H, cfg.W
+        GH, GW = cell_grid_shape(cfg)
+        Hp, Wp = planes3_padded.shape[1], planes3_padded.shape[2]
+        table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
+        fields = prepare_cell_fields(cand, table)
+        old_p = jnp.full((Hp, Wp), UNASSIGNED, jnp.int32
+                         ).at[:H, :W].set(old_assignment)
+        interp = jax.default_backend() != "tpu"
+        a, d = assign_pallas_standard(
+            planes3_padded, old_p, fields, jnp.asarray(coef, jnp.float32),
+            jnp.asarray(rem, jnp.int32), jnp.asarray(stride, jnp.int32),
+            S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
+            manhattan=cfg.manhattan_spatial_dist, interpret=interp)
+        return AssignResult(a[:H, :W], d[:H, :W])
+    return assign_xla(planes, st, cand, cfg, coef, old_assignment, rem,
+                      stride, lsc_feats, lsc_cent)
 
 
 def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
@@ -519,7 +550,13 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
     coef = jnp.asarray(scalars.coef, jnp.float32)
 
     if cfg.convert_to_lab:
-        planes = rgb_to_lab_quantized(image)
+        if jax.default_backend() == "tpu":
+            # fused Pallas conversion: the XLA gather form executes its six
+            # table lookups serially in composed programs (~48ms/720p frame)
+            from .pallas.lut_tpu import rgb_to_lab_pallas
+            planes = rgb_to_lab_pallas(image)
+        else:
+            planes = rgb_to_lab_quantized(image)
     else:
         planes = image.astype(jnp.int32)
 
@@ -535,6 +572,9 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
         is_active=st.is_active,
         is_updatable=st.is_updatable,
     )
+
+    planes3_padded = (_pad_planes_for_pallas(planes, cfg)
+                      if _use_pallas_assign(cfg) else None)
 
     lsc_feats = lsc_cent = lsc_w = None
     if cfg.variant == VARIANT_LSC:
@@ -567,8 +607,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
         st = _clamp_centers(st, cfg)
         cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
         cov_acc = cov_acc | cov
-        res = assign_xla(planes, st, cand, cfg, coef, assignment,
-                         rem, stride, lsc_feats, lsc_cent_c)
+        res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
+                              assignment, rem, stride, lsc_feats, lsc_cent_c)
         assignment, min_dists = res
         old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
         st = update_xla(planes, assignment, st, cfg, rem, stride,
@@ -601,8 +641,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
     st = _clamp_centers(st, cfg)
     cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
     cand_overflow = cand_overflow | cov
-    res = assign_xla(planes, st, cand, cfg, coef, assignment,
-                     0, 1, lsc_feats, lsc_cent)
+    res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
+                          assignment, 0, 1, lsc_feats, lsc_cent)
     assignment, min_dists = res
 
     # enforce_connectivity (context.cpp:15-20); thres precomputed host-side
