@@ -47,34 +47,54 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     rem = scal_ref[1].astype(jnp.int32)
     stride = scal_ref[2].astype(jnp.int32)
 
-    row_abs0 = gi * rows  # first absolute row of this strip
+    # Rows of this strip are the subsampled rows (row index r maps to the
+    # absolute image row r*stride + rem); full passes use stride=1, rem=0.
+    row_abs0 = gi * rows  # first subsampled row of this strip
 
-    # selection matrices from iota compares
+    # selection matrices from iota compares.  All expansion matmuls run in
+    # bf16 at full MXU rate; exactness holds because operands are split into
+    # byte halves (<= 255, bf16-exact) and each output has exactly one
+    # nonzero term, accumulated in f32.
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 0)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 1)
-    rowsel = ((row_abs0 + r_iota) // S == g_iota).astype(jnp.float32)
+    abs_r = (row_abs0 + r_iota) * stride + rem
+    rowsel = (abs_r // S == g_iota).astype(jnp.bfloat16)
 
     gc_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
-    colsel = (j_iota // S == gc_iota).astype(jnp.float32)
+    colsel = (j_iota // S == gc_iota).astype(jnp.bfloat16)
 
-    # row-expand all candidate tables at once: [rows, C*GW]
-    def rowx(ref):
-        # HIGHEST: the MXU's default "f32" matmul truncates operands to
-        # bf16, corrupting integer fields >= 256
-        return jax.lax.dot(rowsel, ref[:], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    def rowx(ref, split):
+        """Row-expand a [GH, C*GW] field -> half pair(s) [rows, C*GW]."""
+        f = ref[:]
+        if split:
+            fh = jnp.floor(f / 256.0)
+            fl = f - fh * 256.0
+            parts = (fh, fl)
+        else:
+            parts = (f,)
+        return tuple(
+            jax.lax.dot(rowsel, p.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            for p in parts)
 
-    ey, ex, er, eg, eb, ev = (rowx(r) for r in
-                              (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cv_ref))
+    ey, ex = rowx(cy_ref, True), rowx(cx_ref, True)
+    er, eg, eb, ev = (rowx(r, False) for r in
+                      (cr_ref, cg_ref, cb_ref, cv_ref))
 
-    ii = row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0)
+    ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
+          * stride + rem)
     jj = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
 
-    def lanex(e, s):
-        return jax.lax.dot(e[:, s * GW:(s + 1) * GW], colsel,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    def lanex(parts, s):
+        outs = [
+            jax.lax.dot(p[:, s * GW:(s + 1) * GW].astype(jnp.bfloat16),
+                        colsel, preferred_element_type=jnp.float32)
+            for p in parts
+        ]
+        if len(outs) == 2:
+            return outs[0].astype(jnp.int32) * 256 + outs[1].astype(jnp.int32)
+        return outs[0]
 
     p0 = p0_ref[:]
     p1 = p1_ref[:]
@@ -84,8 +104,8 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     # int32 avoids Mosaic uint32 quirks; sentinel is INT32_MAX
     m = jnp.full((rows, Wp), 0x7FFFFFFF, jnp.int32)
     for s in range(C):
-        cy = lanex(ey, s).astype(jnp.int32)
-        cx = lanex(ex, s).astype(jnp.int32)
+        cy = lanex(ey, s)
+        cx = lanex(ex, s)
         valid = lanex(ev, s) > 0.5
         di = ii - cy
         dj = jj - cx
@@ -113,15 +133,14 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     slot = m & 0x7F
 
     # winner slot -> cluster id (select chain over expanded id tables)
-    eid = rowx(cid_ref)
+    eid = rowx(cid_ref, True)
     new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
     for s in range(C):
-        cid = lanex(eid, s).astype(jnp.int32)
+        cid = lanex(eid, s)
         new_assign = jnp.where(got & (slot == s) & (cid >= 0), cid,
                                new_assign)
 
-    rowmask = (ii % stride) == rem
-    write = rowmask & got & (new_assign != UNASSIGNED)
+    write = got & (new_assign != UNASSIGNED)
     out_a_ref[:] = jnp.where(write, new_assign, old_ref[:])
     out_d_ref[:] = jnp.where(write, m >> 7, jnp.full_like(m, 0xFFFF))
 

@@ -32,57 +32,62 @@ _LO = 128
 _N_HI = (cie.SRGB_MAX // _LO) + 1  # 65 rows of 128 cover [0, 8192]
 
 
-def _srgb_chain(v, tbl):
-    """256-way select chain: out[p] = tbl[v[p]] for v in [0, 256)."""
-    out = jnp.zeros_like(v)
-    for i in range(256):
-        out = jnp.where(v == i, jnp.full_like(v, int(tbl[i])), out)
-    return out
-
-
-def _lab_kernel(lab2d_ref, rgb_ref, out_ref, *, srgb_tbl, cb):
-    # rgb_ref: [8, tile] i32 (rows 0..2 = R, G, B); out: [8, tile] i32
+def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
+    # rgb_ref: [8, tile] i32 (rows 0..2 = R, G, B); out: [8, tile] i32.
+    # Lookups stay in row layout ([1, tile]); the two-level table select is
+    # M = T^t @ onehot_hi (MXU, byte-split bf16 — exact) followed by a
+    # one-hot sublane reduce.  No in-kernel transposes.
     tile = rgb_ref.shape[1]
-    sr = _srgb_chain(rgb_ref[0:1, :], srgb_tbl)
-    sg = _srgb_chain(rgb_ref[1:2, :], srgb_tbl)
-    sb = _srgb_chain(rgb_ref[2:3, :], srgb_tbl)
+
+    def lookup(x, table_ref, n_hi):
+        # x: [1, tile] int32 indices into a [n_hi * _LO] table
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
+        ohh = (x // _LO == hi_iota).astype(jnp.bfloat16)   # [n_hi, tile]
+        t = table_ref[:].astype(jnp.float32)               # [n_hi, _LO]
+        th = jnp.floor(t / 256.0)
+        tl = t - th * 256.0
+
+        def mm(tt):
+            return jax.lax.dot_general(
+                tt.astype(jnp.bfloat16), ohh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [_LO, tile]
+
+        M = mm(th).astype(jnp.int32) * 256 + mm(tl).astype(jnp.int32)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+        sel = jnp.where(lo_iota == (x % _LO), M, jnp.zeros_like(M))
+        return jnp.sum(sel, axis=0, keepdims=True)         # [1, tile]
+
+    sr = lookup(rgb_ref[0:1, :], srgb2d_ref, 2)
+    sg = lookup(rgb_ref[1:2, :], srgb2d_ref, 2)
+    sb = lookup(rgb_ref[2:3, :], srgb2d_ref, 2)
+
+    cb = _CB
 
     def dotrow(r):
-        return (int(cb[r, 0]) * sr + int(cb[r, 1]) * sg
-                + int(cb[r, 2]) * sb) >> cie.LAB_SHIFT
+        return (cb[r][0] * sr + cb[r][1] * sg + cb[r][2] * sb) >> cie.LAB_SHIFT
 
-    lab_table = lab2d_ref[:].astype(jnp.float32)         # [_N_HI, _LO]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, _LO), 1)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, _N_HI), 1)
-
-    def lab_lookup(x):
-        # x: [1, tile] in [0, 8192]
-        xc = jnp.transpose(x, (1, 0))                    # [tile, 1]
-        oh_hi = (xc // _LO == hi_iota).astype(jnp.float32)
-        rows = jax.lax.dot(oh_hi, lab_table,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        sel = jnp.where(lane == (xc % _LO), rows, jnp.zeros_like(rows))
-        val = jnp.sum(sel, axis=1, keepdims=True).astype(jnp.int32)
-        return jnp.transpose(val, (1, 0))                # [1, tile]
-
-    fx = lab_lookup(dotrow(0))
-    fy = lab_lookup(dotrow(1))
-    fz = lab_lookup(dotrow(2))
+    fx = lookup(dotrow(0), lab2d_ref, _N_HI)
+    fy = lookup(dotrow(1), lab2d_ref, _N_HI)
+    fz = lookup(dotrow(2), lab2d_ref, _N_HI)
 
     ciel = 116 * fy - (16 << cie.SRGB_SHIFT)
     ciea = 500 * (fx - fy) + (128 << cie.SRGB_SHIFT)
     cieb = 200 * (fy - fz) + (128 << cie.SRGB_SHIFT)
     sh = cie.SRGB_SHIFT - cie.OUTPUT_SHIFT
-    # unsigned shift-with-wrap (cielab.h:322-324): do it in int32 via mask
+
     def ushift(v):
+        # (unsigned)x >> sh with wrap, as in cielab.h:322-324
         return jax.lax.shift_right_logical(v, sh)
+
     l8 = jnp.clip(ushift(ciel), 0, 255)
     a8 = jnp.clip(ushift(ciea) - (64 << cie.OUTPUT_SHIFT), 0, 255)
     b8 = jnp.clip(ushift(cieb) - (64 << cie.OUTPUT_SHIFT), 0, 255)
     zero = jnp.zeros_like(l8)
     out_ref[:] = jnp.concatenate(
         [l8, a8, b8, zero, zero, zero, zero, zero], axis=0)
+
+
+_CB = tuple(tuple(int(v) for v in row) for row in cie._CB_NP)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -96,7 +101,7 @@ def rgb_to_lab_pallas(image, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     H, W, _ = image.shape
     n = H * W
-    tile = 2048
+    tile = 4096
     n_tiles = -(-n // tile)
     Np = n_tiles * tile
 
@@ -109,17 +114,18 @@ def rgb_to_lab_pallas(image, interpret: bool | None = None):
     lab2d = np.zeros((_N_HI, _LO), np.int32)
     lab_flat = cie._LAB_TBL_NP
     lab2d.reshape(-1)[: lab_flat.shape[0]] = lab_flat
+    srgb2d = np.zeros((2, _LO), np.int32)
+    srgb2d.reshape(-1)[:256] = cie._SRGB_TBL_NP
 
-    kernel = functools.partial(
-        _lab_kernel, srgb_tbl=cie._SRGB_TBL_NP, cb=cie._CB_NP)
     out = pl.pallas_call(
-        kernel,
+        _lab_kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, tile), lambda i: (0, i))],
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.int32),
         interpret=interpret,
-    )(jnp.asarray(lab2d), rows)
+    )(jnp.asarray(srgb2d), jnp.asarray(lab2d), rows)
     return jnp.stack([out[0, :n], out[1, :n], out[2, :n]],
                      axis=-1).reshape(H, W, 3)

@@ -4,15 +4,20 @@ The centroid update (and CCA area counting) reduces per-pixel integer values
 into K bins.  TPU scatter-adds serialize (~10ns/element), and the XLA
 one-hot-einsum formulation materializes the [N, K] one-hot tensor in HBM
 when it does not fuse (measured ~30 GB of traffic per frame).  This kernel
-builds each tile's one-hot in VMEM and feeds the MXU directly:
+builds one-hots in VMEM and feeds the MXU directly.
 
-    out[v, k] += vals[v, tile] @ onehot(ids[tile], k)
+Two-level decomposition keeps the VPU compare cost at O(N * (K/128 + 128))
+instead of O(N * K): segment id = hi*128 + lo; a [tile, 128] one-hot over lo
+is built once per tile, and for each hi bucket the values are masked and
+matmul-reduced into the bucket's 128 output columns:
 
-Exactness without MXU precision games: inputs are split into high/low bytes
+    out[v, hi*128 + lo] += (vals * [id_hi == hi])[v, tile] @ onehot_lo
+
+Exactness without MXU precision games: values are split into high/low bytes
 (both exactly representable in bf16), the two bf16 matmuls produce per-tile
 partials < 2^24 (exact in the MXU's f32 accumulator), and partials are
-merged into the int32 output across grid steps.  This is the TPU analog of
-the reference's thread-local uint32 accumulators merged under a critical
+merged into the int32 output across grid steps — the TPU analog of the
+reference's thread-local uint32 accumulators merged under a critical
 section (context.cpp:309-354).
 """
 
@@ -25,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LO = 128
+
 
 def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile, Kp):
     step = pl.program_id(0)
@@ -33,42 +40,40 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile, Kp):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[:]                      # [8, tile] i32 (8 replicated rows)
+    ids = ids_ref[0:1, :]                 # [1, tile] i32
     vals = vals_ref[:]                    # [8, tile] i32
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, Kp), 1)
-    # one-hot [tile, Kp] from the first replicated id row
-    ids_col = jnp.transpose(ids[0:1, :], (1, 0))   # [tile, 1]
-    oh = (ids_col == k_iota).astype(jnp.bfloat16)
+    hi_row = ids // _LO                   # [1, tile]
+    # lane-contraction layout: no in-kernel transposes (they dominate
+    # kernel time on Mosaic)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+    oh_t = (ids % _LO == lo_iota).astype(jnp.bfloat16)    # [_LO, tile]
 
-    hi = (vals >> 8).astype(jnp.bfloat16)          # values < 2^16 -> hi < 256
-    lo = (vals & 0xFF).astype(jnp.bfloat16)
+    v_hi = (vals >> 8).astype(jnp.bfloat16)   # byte halves: bf16-exact
+    v_lo = (vals & 0xFF).astype(jnp.bfloat16)
 
-    def mm(a):
-        return jax.lax.dot_general(
-            a, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [8, Kp], exact < 2^24
+    n_hi = Kp // _LO
+    for h in range(n_hi):
+        mask = (hi_row == h).astype(jnp.bfloat16)   # [1, tile]
 
-    part = mm(hi).astype(jnp.int32) * 256 + mm(lo).astype(jnp.int32)
-    out_ref[:] += part
+        def mm(a):
+            return jax.lax.dot_general(
+                a * mask, oh_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [8, _LO]
+
+        part = mm(v_hi).astype(jnp.int32) * 256 + mm(v_lo).astype(jnp.int32)
+        out_ref[:, h * _LO:(h + 1) * _LO] += part
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
 def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     """ids: int32 [N] in [0, num_segments]; vals: int32 [V, N] with
-    0 <= vals < 2^16 and V <= 8.  Returns int32 [num_segments + 1, V]^T
-    layout [V, num_segments + 1] cropped to [num_segments + 1, V] by caller?
-    — returns int32 [V, num_segments + 1]."""
+    0 <= vals < 2^16 and V <= 8.  Returns int32 [V, num_segments + 1]."""
     V, N = vals.shape
     assert V <= 8
-    # larger tiles amortize per-grid-step overhead; the [tile, Kp] one-hot
-    # must fit VMEM (bf16): 2048 x 8320 = 34MB is too big for K=8191, so
-    # scale the tile with the segment count.
-    Kp_est = -(-(num_segments + 1) // 128) * 128
-    tile = max(256, min(2048, (8 << 20) // max(Kp_est, 1)))
-    tile = 1 << (tile.bit_length() - 1)  # power of two
+    tile = 4096
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
-    Kp = -(-(num_segments + 1) // 128) * 128
+    Kp = -(-(num_segments + 1) // _LO) * _LO
 
     vals_p = jnp.zeros((8, Np), jnp.int32).at[:V, :N].set(vals)
     ids_p = jnp.full((8, Np), num_segments, jnp.int32

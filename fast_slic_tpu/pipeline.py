@@ -119,23 +119,29 @@ def build_candidates(y, x, is_active, cfg: StaticConfig):
     seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
     rank = idx - seg_start
     target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
-    buckets = jnp.full([num_cells * P + 1], -1, jnp.int32).at[target].set(order)
-    buckets = buckets[:-1].reshape(GH, GW, P)
-
-    padded = jnp.full([GH + 2, GW + 2, P], -1, jnp.int32)
-    padded = padded.at[1:-1, 1:-1, :].set(buckets)
-    neigh = [
-        padded[1 + di : 1 + di + GH, 1 + dj : 1 + dj + GW, :]
-        for di in (-1, 0, 1)
-        for dj in (-1, 0, 1)
-    ]
-    cand = jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
-
-    # sort each cell's candidate list by visit order (invalid slots last)
     key = visit_order_key(y, x, cfg)
-    cand_key = jnp.where(cand >= 0, key[jnp.maximum(cand, 0)], jnp.int32(2**30))
-    sort_idx = jnp.argsort(cand_key, axis=-1)
-    cand = jnp.take_along_axis(cand, sort_idx, axis=-1)
+    okey = key[order]  # [K]-sized gather: cheap
+
+    def bucketize(values, fill):
+        b = jnp.full([num_cells * P + 1], fill, jnp.int32).at[target].set(values)
+        b = b[:-1].reshape(GH, GW, P)
+        padded = jnp.full([GH + 2, GW + 2, P], fill, jnp.int32)
+        padded = padded.at[1:-1, 1:-1, :].set(b)
+        neigh = [
+            padded[1 + di: 1 + di + GH, 1 + dj: 1 + dj + GW, :]
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+        return jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
+
+    cand = bucketize(order, -1)
+    ckey = bucketize(okey, jnp.int32(2 ** 30))
+    ckey = jnp.where(cand >= 0, ckey, jnp.int32(2 ** 30))
+
+    # sort each cell's candidate list by visit order (invalid slots last);
+    # lax.sort carries the ids as payload — argsort+take_along_axis would
+    # lower to serial pixel-count gathers
+    _, cand = jax.lax.sort((ckey, cand), dimension=-1, num_keys=1)
 
     # Compaction: valid candidates are now in the leading slots; truncate to
     # cand_slots.  Overflow (a dropped real candidate, either here or in the
@@ -419,9 +425,47 @@ def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
         Hp, Wp = planes3_padded.shape[1], planes3_padded.shape[2]
         table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
         fields = prepare_cell_fields(cand, table)
+        interp = jax.default_backend() != "tpu"
+
+        if isinstance(stride, int) and stride > 1:
+            # compute only the subsampled rows (3x less kernel work for the
+            # default stride); scatter the strip back afterwards
+            Hs = -(-H // stride)
+            Hv = Hs * stride
+            if Hv > Hp:  # small images: Hp (64-padded) can be < Hs*stride
+                p3v = jnp.concatenate(
+                    [planes3_padded,
+                     jnp.zeros((3, Hv - Hp, Wp), planes3_padded.dtype)], 1)
+            else:
+                p3v = planes3_padded[:, :Hv, :]
+            p3 = p3v.reshape(3, Hs, stride, Wp)
+            p3_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=2,
+                                                  keepdims=False)
+            Hsp = -(-Hs // 64) * 64
+            p3_sub = jnp.concatenate(
+                [p3_sub, jnp.zeros((3, Hsp - Hs, Wp), p3_sub.dtype)], axis=1)
+            old_v = jnp.concatenate(
+                [old_assignment,
+                 jnp.full((Hv - H, W), UNASSIGNED, old_assignment.dtype)], 0)
+            old3 = old_v.reshape(Hs, stride, W)
+            old_sub = jax.lax.dynamic_index_in_dim(old3, rem, axis=1,
+                                                   keepdims=False)
+            old_sub_p = jnp.full((Hsp, Wp), UNASSIGNED, jnp.int32
+                                 ).at[:Hs, :W].set(old_sub)
+            a, d = assign_pallas_standard(
+                p3_sub, old_sub_p, fields, jnp.asarray(coef, jnp.float32),
+                jnp.asarray(rem, jnp.int32), jnp.asarray(stride, jnp.int32),
+                S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
+                manhattan=cfg.manhattan_spatial_dist, interpret=interp)
+            new3 = old3.at[:, rem, :].set(a[:Hs, :W])
+            assignment = new3.reshape(Hv, W)[:H]
+            dist_full = jnp.full((Hs, stride, W), 0xFFFF, jnp.int32
+                                 ).at[:, rem, :].set(d[:Hs, :W])
+            min_dists = dist_full.reshape(Hv, W)[:H]
+            return AssignResult(assignment, min_dists)
+
         old_p = jnp.full((Hp, Wp), UNASSIGNED, jnp.int32
                          ).at[:H, :W].set(old_assignment)
-        interp = jax.default_backend() != "tpu"
         a, d = assign_pallas_standard(
             planes3_padded, old_p, fields, jnp.asarray(coef, jnp.float32),
             jnp.asarray(rem, jnp.int32), jnp.asarray(stride, jnp.int32),
@@ -439,17 +483,46 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
     H, W, K = cfg.H, cfg.W, cfg.K
     quantized = cfg.variant != VARIANT_REAL_NOQ
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    mask = ((ii % stride) == rem) & (assignment != UNASSIGNED)
-    if pixel_mask is not None:
-        mask = mask & pixel_mask
-    ids = jnp.where(mask, assignment, K).ravel()
-
-    vals = jnp.stack(
-        [jnp.ones_like(ii), ii, jj, planes[..., 0], planes[..., 1], planes[..., 2]],
-        axis=-1,
-    ).reshape(-1, 6)
+    if isinstance(stride, int) and stride > 1:
+        # only rows with i % stride == rem contribute: slice them out instead
+        # of masking (3x less segment-sum work for the default stride)
+        Hs = -(-H // stride)
+        pad = Hs * stride - H
+        a3 = jnp.concatenate(
+            [assignment, jnp.full((pad, W), UNASSIGNED, assignment.dtype)], 0
+        ).reshape(Hs, stride, W)
+        a_sub = jax.lax.dynamic_index_in_dim(a3, rem, axis=1, keepdims=False)
+        p3 = jnp.concatenate(
+            [planes, jnp.zeros((pad, W, 3), planes.dtype)], 0
+        ).reshape(Hs, stride, W, 3)
+        p_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=1, keepdims=False)
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 0) * stride + rem)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 1)
+        mask = a_sub != UNASSIGNED
+        if pixel_mask is not None:
+            m3 = jnp.concatenate(
+                [pixel_mask, jnp.zeros((pad, W), pixel_mask.dtype)], 0
+            ).reshape(Hs, stride, W)
+            mask = mask & jax.lax.dynamic_index_in_dim(
+                m3, rem, axis=1, keepdims=False)
+        ids = jnp.where(mask, a_sub, K).ravel()
+        vals = jnp.stack(
+            [mask.astype(jnp.int32), ii, jj,
+             p_sub[..., 0], p_sub[..., 1], p_sub[..., 2]], axis=-1,
+        ).reshape(-1, 6)
+        # padded rows have mask False -> sentinel id; their iota values are
+        # harmless (summed into the dropped bin)
+    else:
+        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        mask = ((ii % stride) == rem) & (assignment != UNASSIGNED)
+        if pixel_mask is not None:
+            mask = mask & pixel_mask
+        ids = jnp.where(mask, assignment, K).ravel()
+        vals = jnp.stack(
+            [jnp.ones_like(ii), ii, jj, planes[..., 0], planes[..., 1],
+             planes[..., 2]], axis=-1,
+        ).reshape(-1, 6)
     acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
     counts = acc[:, 0]
     sums = acc[:, 1:]
