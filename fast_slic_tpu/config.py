@@ -104,9 +104,10 @@ class StaticConfig:
     # Seeding places ~1 cluster per cell, so 4 is a generous safety factor.
     cell_capacity: int = 4
     # Cap on connected components handled on-device by CCA; more than this
-    # (pathologically fragmented maps) flags a host re-run.  Sized so the
-    # component tables stay in fast on-chip memory.
-    max_components: int = 8192
+    # (pathologically fragmented maps) flags a host re-run.  Real SLIC
+    # outputs have ~K + small-blob components; the area segment-sum scales
+    # linearly with this cap.
+    max_components: int = 4096
     # Per-pixel candidate list length after visit-order compaction.  Valid
     # candidates sort to the front, so this truncates only when a 3x3 cell
     # neighborhood holds more than cand_slots active clusters (flagged).
