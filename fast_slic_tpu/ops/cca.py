@@ -80,7 +80,7 @@ def connected_components(labels):
     """
     H, W = labels.shape
     n = H * W
-    if n > _JUMP_TABLE_LIMIT:
+    if n > _JUMP_TABLE_LIMIT and jax.default_backend() == "tpu":
         from ..pallas.cca_tpu import connected_components_pallas
         return connected_components_pallas(labels)
 
@@ -161,8 +161,9 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     overflow = num_components > maxc
 
     # per-pixel component id: propagate the leader's rank over its component
+    on_tpu = jax.default_backend() == "tpu"
     comp_seed = jnp.where(is_leader, jnp.minimum(rank2, maxc - 1), _BIG)
-    if small:
+    if small or not on_tpu:
         comp2 = rank2.reshape(-1)[L2.reshape(-1)].reshape(H, W)
         comp2 = jnp.minimum(comp2, maxc - 1)
     else:
@@ -236,7 +237,7 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
     # final relabel: propagate each leader's substitute over its component
-    if small:
+    if small or not on_tpu:
         out = substitute[comp_flat].reshape(H, W)
     else:
         seed_ids = jnp.where(valid_comp, leader, n)

@@ -392,9 +392,13 @@ def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
     (context.cpp:309-354).
     """
     assert max_val < (1 << 16)
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: native scatter-add is fast and exact; interpret-mode
+        # Pallas would crawl
+        N, V = vals.shape
+        return jnp.zeros([num_segments + 1, V], jnp.int32).at[ids].add(vals)
     from .pallas.segsum_tpu import segment_sum_pallas
-    interp = jax.default_backend() != "tpu"
-    out = segment_sum_pallas(ids, jnp.transpose(vals), num_segments, interp)
+    out = segment_sum_pallas(ids, jnp.transpose(vals), num_segments, False)
     return jnp.transpose(out)
 
 

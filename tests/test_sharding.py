@@ -40,6 +40,18 @@ def test_batched_warm_start_carries_state(image_factory):
     assert l2.min() >= 0
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatial_sharded_matches_single(image_factory):
+    from fast_slic_tpu.parallel.spatial import ShardedSlic
+    H, W, K = 64, 64, 9
+    img = image_factory(H, W)
+    mesh = make_mesh(8, data=1, space=8)
+    sharded = ShardedSlic(num_components=K, min_size_factor=0.1, mesh=mesh)
+    labels = np.asarray(sharded.iterate(img, max_iter=3))
+    ref = Slic(num_components=K, min_size_factor=0.1).iterate(img, max_iter=3)
+    np.testing.assert_array_equal(labels, np.asarray(ref))
+
+
 def test_dryrun_entry():
     import importlib
     ge = importlib.import_module("__graft_entry__")
