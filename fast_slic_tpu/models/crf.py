@@ -90,6 +90,16 @@ def _compiled_inference(T: int, C: int, N: int, D: int):
         m_nbr = jax.vmap(lambda mm, s: mm[s])(m, safe)       # [T, N, D]
         w_s = e_s * jnp.sqrt(m_nbr / m_center[:, :, None]) * valid
 
+        # densify the weighted adjacency once: per-iteration neighbor
+        # gathers execute serially on TPU, a [T, N, N] matmul does not
+        t_idx = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+        i_idx = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+        W = jnp.zeros((T, N, N), jnp.float32).at[
+            jnp.broadcast_to(t_idx, nbr.shape),
+            jnp.broadcast_to(i_idx, nbr.shape),
+            safe,
+        ].add(jnp.where(valid, w_s, 0.0))
+
         # temporal energies between consecutive frames: e_t[t] couples t,t-1
         if T > 1:
             e_t = _temporal_energy(yxmrgb[1:], yxmrgb[:-1], params)  # [T-1, N]
@@ -99,9 +109,9 @@ def _compiled_inference(T: int, C: int, N: int, D: int):
             w_prev = w_next = None
 
         def body(_, q):
-            q_nbr = jax.vmap(
-                lambda qt, s: qt[:, s], in_axes=(0, 0))(q, safe)  # [T, C, N, D]
-            msg = jnp.sum(q_nbr * w_s[:, None, :, :], axis=-1)    # [T, C, N]
+            msg = jnp.einsum("tij,tcj->tci", W, q,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             if T > 1:
                 msg = msg.at[1:].add(w_prev[:, None, :] * q[:-1])
                 msg = msg.at[:-1].add(w_next[:, None, :] * q[1:])
@@ -138,7 +148,12 @@ class SimpleCRFFrame:
 
     # -- cluster features ----------------------------------------------------
 
+    def _invalidate(self):
+        if self.parent_crf is not None:
+            self.parent_crf._cache = None
+
     def set_yxmrgb(self, yxmrgb):
+        self._invalidate()
         arr = np.asarray(yxmrgb)
         if arr.shape[0] != self.num_nodes:
             raise ValueError(
@@ -156,6 +171,7 @@ class SimpleCRFFrame:
     # -- connectivity --------------------------------------------------------
 
     def set_connectivity(self, connectivity):
+        self._invalidate()
         lists = (connectivity.tolist()
                  if hasattr(connectivity, "tolist") else connectivity)
         if len(lists) != self.num_nodes:
@@ -177,10 +193,12 @@ class SimpleCRFFrame:
 
     @unaries.setter
     def unaries(self, new_value):
+        self._invalidate()
         self._check_dimension(new_value)
         self._unaries = np.array(new_value, np.float32)
 
     def set_unbiased(self):
+        self._invalidate()
         self._unaries[:] = np.log(np.float32(self.num_classes))
 
     def set_mask(self, classes, confidence):
@@ -193,11 +211,13 @@ class SimpleCRFFrame:
         lowest = 1.0 / C
         active_p = lowest + (1 - lowest) * confidence
         inactive_p = (1 - active_p) / (C - 1)
+        self._invalidate()
         self._unaries[:] = -np.log(np.float32(inactive_p))
         self._unaries[classes, np.arange(self.num_nodes)] = -np.log(
             np.float32(active_p))
 
     def set_proba(self, proba):
+        self._invalidate()
         self._check_dimension(proba)
         self._unaries = -np.log(np.asarray(proba, np.float32))
 
@@ -267,6 +287,7 @@ class SimpleCRF:
         self.compat_by_class = np.ones([self.num_classes], np.float32)
         self._frames = OrderedDict()  # time -> frame
         self._next_time = 0
+        self._cache = None  # device-side (nbr, yxmrgb, unaries) staging
 
     # params as properties, mirroring csimple_crf.pyx:248-302
     def _param_prop(name):  # noqa: N805
@@ -304,6 +325,7 @@ class SimpleCRF:
         return self.num_classes * self.num_nodes
 
     def push_frame(self):
+        self._cache = None
         t = self._next_time
         self._next_time += 1
         frame = SimpleCRFFrame(self, t)
@@ -311,6 +333,7 @@ class SimpleCRF:
         return frame
 
     def pop_frame(self):
+        self._cache = None
         if not self._frames:
             return -1
         t, _ = self._frames.popitem(last=False)
@@ -344,20 +367,25 @@ class SimpleCRF:
             return
         frames = list(self._frames.values())
         T, C, N = len(frames), self.num_classes, self.num_nodes
-        D = max(1, max(max((len(e) for e in f._edges), default=0)
-                       for f in frames))
-        nbr = np.full([T, N, D], -1, np.int32)
-        for t, f in enumerate(frames):
-            for i, e in enumerate(f._edges):
-                nbr[t, i, : len(e)] = e
+        if self._cache is None:
+            D = max(1, max(max((len(e) for e in f._edges), default=0)
+                           for f in frames))
+            nbr = np.full([T, N, D], -1, np.int32)
+            for t, f in enumerate(frames):
+                for i, e in enumerate(f._edges):
+                    nbr[t, i, : len(e)] = e
+            self._cache = (
+                jnp.asarray(nbr),
+                jnp.asarray(np.stack([f._yxmrgb for f in frames])),
+                jnp.asarray(np.stack([f._unaries for f in frames])),
+            )
+        nbr_d, yxmrgb_d, unaries_d = self._cache
         q = np.stack([f._q for f in frames])
-        unaries = np.stack([f._unaries for f in frames])
-        yxmrgb = np.stack([f._yxmrgb for f in frames])
 
-        fn = _compiled_inference(T, C, N, D)
+        fn = _compiled_inference(T, C, N, int(nbr_d.shape[-1]))
         out = np.asarray(fn(
-            jnp.asarray(q), jnp.asarray(unaries), jnp.asarray(yxmrgb),
-            jnp.asarray(nbr), jnp.asarray(self.params.as_array()),
+            jnp.asarray(q), unaries_d, yxmrgb_d, nbr_d,
+            jnp.asarray(self.params.as_array()),
             jnp.asarray(self.compat_by_class), jnp.int32(max_iter)))
         for t, f in enumerate(frames):
             f._q = out[t]
