@@ -21,6 +21,8 @@ from .models.slic import (  # noqa: F401
     LSCPallas,
 )
 from .model import SlicModel  # noqa: F401
+from .models.crf import SimpleCRF, SimpleCRFFrame  # noqa: F401
+from .ops.graph import NodeConnectivity  # noqa: F401
 from .config import get_supported_archs, is_supported_arch  # noqa: F401
 
 supported_archs = tuple(get_supported_archs())
