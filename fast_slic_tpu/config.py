@@ -104,10 +104,13 @@ class StaticConfig:
     # Seeding places ~1 cluster per cell, so 4 is a generous safety factor.
     cell_capacity: int = 4
     # Cap on connected components handled on-device by CCA; more than this
-    # (pathologically fragmented maps) flags a host re-run.  Real SLIC
-    # outputs have ~K + small-blob components; the area segment-sum scales
-    # linearly with this cap.
-    max_components: int = 4096
+    # (pathologically fragmented maps) flags a host re-run.  0 = auto-size
+    # from the pixel count: raw SLIC assignments of natural images fragment
+    # into roughly one component per ~50 pixels (measured ~17k on a real
+    # 720p photo, K=1600), so auto allots n/24 (2x headroom, min 4096).
+    # The band-guarded segment-sum (pallas/segsum_tpu.py) makes the cost of
+    # a generous cap proportional to actual component density, not the cap.
+    max_components: int = 0
     # Per-pixel candidate list length after visit-order compaction.  Valid
     # candidates sort to the front, so this truncates only when a 3x3 cell
     # neighborhood holds more than cand_slots active clusters (flagged).
@@ -122,6 +125,14 @@ class StaticConfig:
         if self.K <= 0:
             return 1
         return max(1, int(math.sqrt(self.H * self.W // self.K)))
+
+    @property
+    def effective_max_components(self) -> int:
+        """Resolved CCA component cap (see max_components; 0 = auto)."""
+        if self.max_components:
+            return self.max_components
+        n = self.H * self.W
+        return min(n, max(4096, -(-(n // 24) // 128) * 128))
 
     def __post_init__(self):
         if self.variant not in VARIANTS:

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LO = 128
 
 
-def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile, Kp):
+def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -51,8 +51,20 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile, Kp):
     v_hi = (vals >> 8).astype(jnp.bfloat16)   # byte halves: bf16-exact
     v_lo = (vals & 0xFF).astype(jnp.bfloat16)
 
-    n_hi = Kp // _LO
-    for h in range(n_hi):
+    # Band guard: ids produced by the pipeline (cluster numbers ordered by
+    # grid position, CCA component ranks ordered by leader raster index)
+    # are spatially coherent, so a 4096-pixel tile touches only a narrow
+    # contiguous band of hi buckets.  Looping over [min, max] of the tile's
+    # hi values makes the cost scale with local id density instead of the
+    # total bucket count — this is what lets max_components be sized for
+    # real images (tens of thousands of raw CCA fragments at 720p) without
+    # paying O(num_segments) dots per tile.  Output rows are grouped per
+    # bucket ([h*8, h*8+8)) so the loop's store offset is on the sublane
+    # dim, where Mosaic supports dynamic indexing.
+    band_lo = jnp.min(hi_row)
+    band_hi = jnp.max(hi_row)
+
+    def body(h, carry):
         mask = (hi_row == h).astype(jnp.bfloat16)   # [1, tile]
 
         def mm(a):
@@ -61,7 +73,10 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile, Kp):
                 preferred_element_type=jnp.float32)  # [8, _LO]
 
         part = mm(v_hi).astype(jnp.int32) * 256 + mm(v_lo).astype(jnp.int32)
-        out_ref[:, h * _LO:(h + 1) * _LO] += part
+        out_ref[pl.ds(h * 8, 8), :] += part
+        return carry
+
+    jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
@@ -75,17 +90,23 @@ def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     Np = n_tiles * tile
     Kp = -(-(num_segments + 1) // _LO) * _LO
 
+    n_hi = Kp // _LO
     vals_p = jnp.zeros((8, Np), jnp.int32).at[:V, :N].set(vals)
-    ids_p = jnp.full((8, Np), num_segments, jnp.int32
-                     ).at[:, :N].set(jnp.broadcast_to(ids[None, :], (8, N)))
+    # pad ids with the last real id (padding vals are 0, so the bin doesn't
+    # matter) to keep the final tile's hi-bucket band tight
+    ids_p = jnp.broadcast_to(ids[-1], (8, Np)
+                             ).at[:, :N].set(jnp.broadcast_to(ids[None, :],
+                                                              (8, N)))
 
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, tile=tile, Kp=Kp),
+        functools.partial(_segsum_kernel, tile=tile),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
                   pl.BlockSpec((8, tile), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((8, Kp), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((8, Kp), jnp.int32),
+        out_specs=pl.BlockSpec((n_hi * 8, _LO), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_hi * 8, _LO), jnp.int32),
         interpret=interpret,
     )(vals_p, ids_p)
+    # rows are per-bucket groups of 8: [n_hi*8, 128] -> [8, Kp]
+    out = out.reshape(n_hi, 8, _LO).transpose(1, 0, 2).reshape(8, Kp)
     return out[:V, :num_segments + 1]

@@ -725,7 +725,7 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
     # enforce_connectivity (context.cpp:15-20); thres precomputed host-side
     labels, cca_tie = enforce_connectivity_xla_flagged(
         assignment, K, jnp.asarray(scalars.thres, jnp.int32),
-        cfg.max_components)
+        cfg.effective_max_components)
     labels = jnp.where(labels == UNASSIGNED, -1, labels)
 
     snaps_out = None

@@ -64,12 +64,22 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
                 # bit-parity (ops/cca.py docstring).
                 with timer.scope("enforce_connectivity_host"):
                     from . import native
+                    raw = np.asarray(out.raw_assignment)
                     if native.available():
-                        raw = np.asarray(out.raw_assignment)
                         fixed = native.enforce_connectivity_native(
                             raw, cfg.K, int(scalars.thres))
-                        labels = fixed.astype(np.int16)
-                        labels[fixed == UNASSIGNED] = -1
+                    else:  # pragma: no cover - g++ present in supported envs
+                        # uncapped re-run (maxc = n: no overflow, and the
+                        # gather paths are fine on host) so the labels are
+                        # at least valid; only boundary-tie ORDER can then
+                        # differ from the reference
+                        from .ops.cca import enforce_connectivity_xla
+                        import jax.numpy as jnp
+                        fixed = np.asarray(enforce_connectivity_xla(
+                            jnp.asarray(raw.astype(np.int32)), cfg.K,
+                            jnp.int32(int(scalars.thres))))
+                    labels = fixed.astype(np.int16)
+                    labels[fixed == UNASSIGNED] = -1
             final = Clusters(*(np.asarray(f) for f in (
                 st_dev.y, st_dev.x, st_dev.r, st_dev.g, st_dev.b,
                 st_dev.num_members, st_dev.is_active, st_dev.is_updatable)))
