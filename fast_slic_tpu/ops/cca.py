@@ -225,15 +225,26 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     target = comp_flat[nb]                 # [maxc] indices: small gather
     target = jnp.where(citoa == 0, 0, target)
 
+    # Orphan chains resolve by pointer jumping.  Adoption targets strictly
+    # decrease in leader raster index (the left/up neighbor precedes the
+    # leader) and component 0 is always labeled, so every chain terminates;
+    # real images resolve in 2-3 doubling steps.  A [maxc] gather executes
+    # serially (~8 ns/element — NOTES.md fact #1), so iterate only until
+    # converged instead of the full log2(maxc) schedule, with the full
+    # schedule as the loop bound.
     jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
 
-    def jump(_, carry):
-        sub, t = carry
-        sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
-        return sub, t[t]
+    def jump_cond(carry):
+        sub, _, step = carry
+        return (step < jump_steps) & jnp.any(sub == UNASSIGNED)
 
-    substitute, _ = jax.lax.fori_loop(0, jump_steps, jump,
-                                      (substitute, target))
+    def jump(carry):
+        sub, t, step = carry
+        sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
+        return sub, t[t], step + 1
+
+    substitute, _, _ = jax.lax.while_loop(
+        jump_cond, jump, (substitute, target, jnp.int32(0)))
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
     # final relabel: propagate each leader's substitute over its component
