@@ -1,12 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: 1280x720, K=1600, 10 iterations — Mpix/s per chip.
+"""Benchmark: 720p, K=1600, 10 iterations — Mpix/s per chip.
 
 Prints ONE json line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+The headline value is the BATCHED video throughput (the driver target in
+BASELINE.md is a batched number: >500 fps at 720p); the single-frame latency
+path is reported alongside as "single_frame_mpix_s".
 
 vs_baseline is relative to the reference CPU implementation's best published
 throughput: 640x480 @ 8.8 ms on a 6C12T CPU ~= 34.9 Mpix/s
 (BASELINE.md; /root/reference/README.md:68).
+
+Methodology notes (honesty constraints):
+* Frames are staged on-device once and the iterate loop re-runs on them —
+  the dev harness reaches the TPU through a tunnel whose host->device
+  bandwidth (~5 MB/s) is an artifact; production PCIe staging of a 22 MB
+  batch costs ~1 ms.  The reference's own table likewise excludes image IO
+  (and even RGB->LAB conversion, README.md:72 — which IS included here).
+* The measured program must be end-to-end correct on its own: the run
+  asserts no exactness-fallback flag fired (a flagged frame would need a
+  host CCA re-run that the timing would not include).  The per-batch flag
+  check (device->host [B] bools) IS included in the timed loop.
 """
 
 import json
@@ -29,30 +44,28 @@ def make_image(H, W, seed=0):
     here = os.path.dirname(os.path.abspath(__file__))
     z = np.load(os.path.join(here, "tests", "data", "golden_ref.npz"))
     from PIL import Image
-    return np.asarray(Image.fromarray(z["image"]).resize((W, H),
-                                                         Image.BILINEAR))
+    img = np.asarray(Image.fromarray(z["image"]).resize((W, H),
+                                                        Image.BILINEAR))
+    if seed:
+        rng = np.random.default_rng(seed)
+        img = np.clip(img.astype(np.int16)
+                      + rng.integers(-6, 7, size=img.shape), 0,
+                      255).astype(np.uint8)
+    return img
 
 
-def main():
+def bench_single(H, W, K, max_iter, stride, arch, reps):
     import jax
     import jax.numpy as jnp
     from fast_slic_tpu import cluster as cl
     from fast_slic_tpu.config import StaticConfig, RuntimeParams
     from fast_slic_tpu import pipeline
 
-    H, W, K = 720, 1280, 1600
-    max_iter, stride = 10, 3
-    arch = os.environ.get("FSTPU_BENCH_ARCH", "pallas")
-    try:
-        cfg = StaticConfig(H=H, W=W, K=K, arch=arch, convert_to_lab=True)
-    except NotImplementedError:
-        cfg = StaticConfig(H=H, W=W, K=K, arch="xla", convert_to_lab=True)
+    cfg = StaticConfig(H=H, W=W, K=K, arch=arch, convert_to_lab=True)
     params = RuntimeParams(compactness=10.0, min_size_factor=0.1,
                            subsample_stride=stride, max_iter=max_iter)
-
     image = make_image(H, W)
-    st = cl.initialize_clusters(image, K)
-    st_dev = jax.tree.map(jnp.asarray, st)
+    st_dev = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
     image_dev = jnp.asarray(image)
 
     fn = pipeline.compiled_iterate(cfg, max_iter, stride)
@@ -61,29 +74,68 @@ def main():
         params.preemptive_thres)
     args = (image_dev, st_dev, scalars)
 
-    # warmup + compile
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # the measured program must be END-TO-END correct on its own: no
-    # exactness-fallback flag (which would mean the public API re-runs the
-    # host CCA and the device-only time would overstate throughput)
+    out = jax.block_until_ready(fn(*args))
+    # no-fallback assertion (see module docstring)
     assert not bool(np.asarray(out.cca_tie)), \
         "bench content tripped the host-CCA fallback; number would be dishonest"
+    assert not bool(np.asarray(out.cand_overflow))
 
-    reps = int(os.environ.get("FSTPU_BENCH_REPS", "20"))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
+    return (H * W) / dt / 1e6
 
-    mpix_s = (H * W) / dt / 1e6
+
+def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu.parallel.batch import BatchedSlic
+
+    frames = np.stack([make_image(H, W, seed=f + 1) for f in range(B)])
+    frames_dev = jnp.asarray(frames)  # staged once (see module docstring)
+
+    slic = BatchedSlic(num_components=K, compactness=10.0,
+                       min_size_factor=0.1, subsample_stride=stride,
+                       arch=arch, check_exactness=True)
+    # warmup/compile + correctness probe: check_exactness=True means any
+    # flagged frame would take the (slow, host) CCA re-run inside iterate —
+    # assert none fires so the timed loop is the pure device path
+    labels = slic.iterate(frames_dev, max_iter=max_iter)
+    jax.block_until_ready(labels)
+    flags = np.asarray(slic.last_flags)
+    assert not flags.any(), \
+        "bench content tripped the host-CCA fallback; number would be dishonest"
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        labels = slic.iterate(frames_dev, max_iter=max_iter)
+    jax.block_until_ready(labels)
+    dt = (time.perf_counter() - t0) / reps
+    return (B * H * W) / dt / 1e6
+
+
+def main():
+    H, W, K = 720, 1280, 1600
+    max_iter, stride = 10, 3
+    arch = os.environ.get("FSTPU_BENCH_ARCH", "pallas")
+    reps = int(os.environ.get("FSTPU_BENCH_REPS", "20"))
+    B = int(os.environ.get("FSTPU_BENCH_BATCH", "8"))
+
+    single = bench_single(H, W, K, max_iter, stride, arch, reps)
+    batched = bench_batched(B, H, W, K, max_iter, stride, arch,
+                            max(3, reps // 2))
+
     baseline_mpix_s = (640 * 480) / 8.8e-3 / 1e6  # 34.9 Mpix/s (CPU ref)
     print(json.dumps({
-        "metric": "Mpix/s per chip (720p, K=1600, 10 iters)",
-        "value": round(mpix_s, 2),
+        "metric": "Mpix/s per chip (batched 720p video, K=1600, 10 iters)",
+        "value": round(batched, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / baseline_mpix_s, 3),
+        "vs_baseline": round(batched / baseline_mpix_s, 3),
+        "single_frame_mpix_s": round(single, 2),
+        "batch": B,
+        "fps_720p": round(batched * 1e6 / (H * W), 1),
     }))
 
 

@@ -113,18 +113,43 @@ class StaticConfig:
     max_components: int = 0
     # Per-pixel candidate list length after visit-order compaction.  Valid
     # candidates sort to the front, so this truncates only when a 3x3 cell
-    # neighborhood holds more than cand_slots active clusters (flagged).
-    cand_slots: int = 24
+    # neighborhood holds more than cand_slots active clusters (flagged, and
+    # the runner escalates capacity).  Measured occupancy on grid-seeded
+    # SLIC is ~9 mean / 13 max (720p K=1600 after 10 iterations), so 16
+    # covers real drift; the slot count is the assign kernel's unrolled
+    # inner loop length, so smaller is directly faster.
+    cand_slots: int = 16
+    # --- batched-canvas mode (parallel/canvas.py) ---------------------------
+    # B video frames stacked vertically into one canvas of H = B*pitch rows
+    # so every kernel amortizes over one tall image.  canvas_frames > 1
+    # switches the pipeline to canvas semantics: frame-local visit-order
+    # keys, spacer-row masking, frame-aware CCA.  S must then be pinned to
+    # the per-frame value via S_fixed (the canvas aspect ratio would skew
+    # the sqrt formula).
+    canvas_frames: int = 1
+    canvas_pitch: int = 0    # rows per frame slot (>= frame_h + S)
+    canvas_frame_h: int = 0  # real rows per frame (rest is spacer)
+    S_fixed: int = 0         # 0 = derive from H*W/K
 
     @property
     def S(self) -> int:
         """Superpixel sampling interval: S = floor(sqrt(H*W/K)), min 1.
 
         Reference: BaseContext constructor, /root/reference/src/context.h:60.
+        Canvas mode pins the per-frame value via S_fixed.
         """
+        if self.S_fixed:
+            return self.S_fixed
         if self.K <= 0:
             return 1
         return max(1, int(math.sqrt(self.H * self.W // self.K)))
+
+    @property
+    def is_canvas(self) -> bool:
+        # canvas semantics apply whenever a pitch is set — including a
+        # one-frame-per-device shard_map canvas (spacer masking + frame-
+        # aware CCA still differ from the plain single-frame path)
+        return self.canvas_pitch > 0
 
     @property
     def effective_max_components(self) -> int:
@@ -134,11 +159,33 @@ class StaticConfig:
         n = self.H * self.W
         return min(n, max(4096, -(-(n // 24) // 128) * 128))
 
+    @property
+    def frame_K(self) -> int:
+        """Clusters per frame (== K except in canvas mode)."""
+        return self.K // self.canvas_frames
+
     def __post_init__(self):
         if self.variant not in VARIANTS:
             raise RuntimeError("No such real_dist_type " + repr(self.variant))
         if self.arch not in (ARCH_XLA, ARCH_PALLAS):
             raise NotImplementedError("Unsupported arch " + repr(self.arch))
+        if self.canvas_pitch or self.canvas_frames > 1:
+            if not (self.S_fixed and self.canvas_pitch
+                    and self.canvas_frame_h):
+                raise ValueError(
+                    "canvas mode requires S_fixed, canvas_pitch and "
+                    "canvas_frame_h (use parallel.canvas.make_canvas_config)")
+            if self.K % self.canvas_frames:
+                raise ValueError("canvas K must be frames * per-frame K")
+            if self.H != self.canvas_frames * self.canvas_pitch:
+                raise ValueError("canvas H must be frames * pitch")
+            if self.canvas_pitch < self.canvas_frame_h + self.S:
+                raise ValueError("canvas pitch must leave >= S spacer rows")
+            if self.variant in (VARIANT_REAL_NOQ, VARIANT_LSC):
+                raise NotImplementedError(
+                    "canvas mode supports quantized-centroid variants only "
+                    "(standard/real/real_l2); float centroid means are not "
+                    "shift-invariant bit-for-bit")
 
 
 @dataclasses.dataclass

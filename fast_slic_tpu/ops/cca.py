@@ -70,19 +70,22 @@ def _neighbor_min(L, labels):
     return out
 
 
-def connected_components(labels):
+def connected_components(labels, S=None):
     """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index.
 
     Small images: neighbor-min sweeps + pointer jumping (the [n] gather
     table stays on-chip).  Large images: the Pallas strip kernel with
     segmented doubling (pallas/cca_tpu.py) — big-table gathers and
-    associative scans are both slow on TPU.
+    associative scans are both slow on TPU.  Pass the SLIC sampling
+    interval S to cap the kernel's horizontal doubling reach at the
+    component diameter (longer runs fall to extra fixpoint passes).
     """
     H, W = labels.shape
     n = H * W
     if n > _JUMP_TABLE_LIMIT and jax.default_backend() == "tpu":
         from ..pallas.cca_tpu import connected_components_pallas
-        return connected_components_pallas(labels)
+        return connected_components_pallas(
+            labels, reach=_slic_reach((H, W), S) if S else None)
 
     L0 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
 
@@ -107,7 +110,8 @@ def connected_components(labels):
 
 
 def enforce_connectivity_xla(assignment, K: int, min_threshold,
-                             max_components: int | None = None):
+                             max_components: int | None = None,
+                             S: int | None = None):
     """ConnectivityEnforcer::execute (cca.cpp:178-265), dense TPU version.
 
     assignment: int32 [H, W] (UNASSIGNED treated as a label of its own,
@@ -116,12 +120,13 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold,
     Returns int32 [H, W] relabeled map.
     """
     labels, _ = enforce_connectivity_xla_flagged(
-        assignment, K, min_threshold, max_components)
+        assignment, K, min_threshold, max_components, S)
     return labels
 
 
 def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
-                                     max_components: int | None = None):
+                                     max_components: int | None = None,
+                                     S: int | None = None):
     """Like :func:`enforce_connectivity_xla` but also returns a bool scalar
     flagging the cases where this implementation can deviate from the
     reference (see module docstring): top-K boundary-area ties, or more than
@@ -145,7 +150,7 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     maxc = min(n, max_components) if max_components else n
     small = n <= _JUMP_TABLE_LIMIT
 
-    L2 = connected_components(assignment)              # [H, W] leader ids
+    L2 = connected_components(assignment, S)           # [H, W] leader ids
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     iota2 = ii * W + jj
@@ -168,20 +173,23 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
         comp2 = jnp.minimum(comp2, maxc - 1)
     else:
         comp2 = propagate_min_pallas(assignment, comp_seed,
-                                     reach=_slic_reach(assignment.shape))
+                                     reach=_slic_reach(assignment.shape, S))
     comp_flat = comp2.reshape(-1)
 
     # areas + leader index per component in ONE segment-sum (leader pixel id
-    # split into <2^16 halves so the matmul stays exact)
-    pid_hi = iota2 >> 8
+    # split into three sub-16-bit parts so the byte-split bf16 matmul stays
+    # exact for images/canvases up to 2^31 pixels)
+    pid_hi = iota2 >> 16
+    pid_mid = (iota2 >> 8) & 0xFF
     pid_lo = iota2 & 0xFF
     vals = jnp.stack(
         [jnp.ones_like(il), jnp.where(is_leader, pid_hi, 0),
-         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 3)
+         jnp.where(is_leader, pid_mid, 0),
+         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 4)
     acc = segment_sum_matmul(comp_flat, vals, maxc,
-                             max_val=max(n >> 8, 255))[:maxc]
+                             max_val=max(n >> 16, 255))[:maxc]
     areas = acc[:, 0]
-    leader_of_comp = acc[:, 1] * 256 + acc[:, 2]
+    leader_of_comp = acc[:, 1] * 65536 + acc[:, 2] * 256 + acc[:, 3]
 
     citoa = jnp.arange(maxc, dtype=jnp.int32)
     valid_comp = citoa < num_components
@@ -256,15 +264,217 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
                             ).at[seed_ids].set(substitute)[:n].reshape(H, W)
         m0 = jnp.where(is_leader, sub_seed, _BIG)
         out = propagate_min_pallas(assignment, m0,
-                                   reach=_slic_reach(assignment.shape))
+                                   reach=_slic_reach(assignment.shape, S))
     return out, boundary_tie | overflow
 
 
-def _slic_reach(shape):
+def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
+                                        pitch: int, frame_h: int,
+                                        min_threshold,
+                                        max_components: int, S: int):
+    """Frame-aware CCA over a batched canvas (parallel/canvas.py).
+
+    assignment: int32 [B*pitch, W]; frame f occupies rows
+    [f*pitch, f*pitch + frame_h), labels in [f*K_frame, (f+1)*K_frame);
+    spacer rows are UNASSIGNED.  Reproduces the per-frame semantics of
+    ``enforce_connectivity_xla_flagged`` exactly: every frame is thresholded,
+    top-K-selected and renumbered from 0 independently, as if each had been
+    processed standalone (reference cca.cpp:178-265 per frame).
+
+    Key structural facts this exploits:
+
+    * components never cross frames (labels differ; spacer rows are a label
+      of their own), so one connected-components pass over the whole canvas
+      is exact;
+    * component numbering follows leader raster order, which groups each
+      frame's components *contiguously* (interleaved with spacer-band
+      components, filtered by leader position) — so all per-frame selection
+      reduces to segmented prefix ops over the component axis, computed as
+      B-way select/sum chains (no big gathers, NOTES.md fact #1);
+    * a frame's first real component is the component of its pixel (0,0)
+      (that pixel is the frame's smallest raster index), which receives the
+      reference's "component 0 always gets a label" rule (cca.cpp:238);
+    * orphan adoption targets (leader's left/up neighbor) stay within the
+      frame: a leader on frame row 0 with x>0 adopts left; x==0, row>0
+      adopts up; (0,0) is the always-labeled first component.
+
+    Returns (labels int32 [B*pitch, W] — values are per-frame substitute
+    numbers; spacer rows garbage, callers crop — and flags bool [B]: frame
+    needs a bit-exact host re-run: top-K boundary-area tie, unassigned
+    pixels inside the frame, or global component overflow).
+    """
+    from ..pipeline import segment_sum_matmul
+    from ..pallas.cca_tpu import propagate_min_pallas
+
+    CH, W = assignment.shape
+    assert CH == B * pitch
+    n = CH * W
+    maxc = min(n, max_components)
+    small = n <= _JUMP_TABLE_LIMIT
+    on_tpu = jax.default_backend() == "tpu"
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
+    # Chunk the spacer rows' labels into blocks no wider than the
+    # propagation kernel's horizontal reach: a full-width uniform spacer
+    # band would otherwise need ~W/reach fixpoint passes just to agree on
+    # its own leader, inflating EVERY propagation (cc, component ids,
+    # relabel) ~3x.  Chunk labels start above any real label (frame labels
+    # < B*K_frame <= 65534, UNASSIGNED = 65535) so spacer chunks never
+    # 4-connect to frame pixels; the extra ~W/reach components per band are
+    # filtered by leader position (is_spacer) like before.
+    chunk = max(1, _slic_reach((CH, W), S) - 2)
+    spacer_row = (ii % pitch) >= frame_h
+    cca_labels = jnp.where(spacer_row, 0x10000 + jj // chunk, assignment)
+
+    L2 = connected_components(cca_labels, S)
+    iota2 = ii * W + jj
+    is_leader = L2 == iota2
+    il = is_leader.astype(jnp.int32)
+
+    row_counts = jnp.sum(il, axis=1)
+    row_offsets = jnp.cumsum(row_counts) - row_counts
+    in_row = jnp.cumsum(il, axis=1) - il
+    rank2 = row_offsets[:, None] + in_row
+    num_components = row_offsets[-1] + row_counts[-1]
+    overflow = num_components > maxc
+
+    comp_seed = jnp.where(is_leader, jnp.minimum(rank2, maxc - 1), _BIG)
+    if small or not on_tpu:
+        comp2 = rank2.reshape(-1)[L2.reshape(-1)].reshape(CH, W)
+        comp2 = jnp.minimum(comp2, maxc - 1)
+    else:
+        comp2 = propagate_min_pallas(cca_labels, comp_seed,
+                                     reach=_slic_reach((CH, W), S))
+    comp_flat = comp2.reshape(-1)
+
+    pid_hi = iota2 >> 16
+    pid_mid = (iota2 >> 8) & 0xFF
+    pid_lo = iota2 & 0xFF
+    vals = jnp.stack(
+        [jnp.ones_like(il), jnp.where(is_leader, pid_hi, 0),
+         jnp.where(is_leader, pid_mid, 0),
+         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 4)
+    acc = segment_sum_matmul(comp_flat, vals, maxc,
+                             max_val=max(n >> 16, 255))[:maxc]
+    areas = acc[:, 0]
+    leader_of_comp = acc[:, 1] * 65536 + acc[:, 2] * 256 + acc[:, 3]
+
+    citoa = jnp.arange(maxc, dtype=jnp.int32)
+    valid_comp = citoa < num_components
+    lrow = leader_of_comp // W
+    cf = jnp.clip(lrow // pitch, 0, B - 1)         # frame id [maxc]
+    is_spacer = (lrow % pitch) >= frame_h
+    real = valid_comp & ~is_spacer
+    kept_pre = real & (areas >= min_threshold)
+
+    def per_frame_sum(indicator_i32):
+        """[maxc] int32 -> [B] per-frame totals (B-way select chain)."""
+        return jnp.stack([
+            jnp.sum(jnp.where(cf == f, indicator_i32, 0)) for f in range(B)])
+
+    def expand(vec_b):
+        """[B] -> [maxc] by frame id (select chain, no gather)."""
+        out = jnp.zeros([maxc], vec_b.dtype)
+        for f in range(B):
+            out = jnp.where(cf == f, vec_b[f], out)
+        return out
+
+    def seg_cumsum(v_i32):
+        """Per-frame inclusive cumsum along the component axis (components
+        of one frame are contiguous in leader order; spacer components are
+        masked out of v by the caller)."""
+        c = jnp.cumsum(v_i32)
+        totals = per_frame_sum(v_i32)
+        starts = jnp.cumsum(totals) - totals       # exclusive over frames
+        return c - expand(starts)
+
+    k = min(K_frame, maxc)
+    count_pre = per_frame_sum(kept_pre.astype(jnp.int32))   # [B]
+
+    def cnt_gt(T_b):
+        ind = kept_pre & (areas > expand(T_b))
+        return per_frame_sum(ind.astype(jnp.int32))
+
+    def bs_body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        p = cnt_gt(mid) < k
+        return jnp.where(p, lo, mid + 1), jnp.where(p, mid, hi)
+
+    steps = max(1, math.ceil(math.log2(max(n + 1, 2))))
+    lo, hi = jax.lax.fori_loop(
+        0, steps, bs_body,
+        (jnp.zeros([B], jnp.int32), jnp.full([B], n, jnp.int32)))
+    T = lo                                           # [B]
+    n_gt = cnt_gt(T)
+    fill = k - n_gt                                  # [B]
+    T_comp = expand(T)
+    eq = kept_pre & (areas == T_comp)
+    eq_i = eq.astype(jnp.int32)
+    eq_rank = seg_cumsum(eq_i)                       # per-frame inclusive
+    kept = (kept_pre & (areas > T_comp)) | (eq & (eq_rank <= expand(fill)))
+    boundary_tie = (count_pre > k) & (fill < per_frame_sum(eq_i))   # [B]
+
+    kept_i = kept.astype(jnp.int32)
+    substitute = jnp.where(kept, seg_cumsum(kept_i) - 1, UNASSIGNED
+                           ).astype(jnp.int32)
+    # first real component of each frame always gets a label (cca.cpp:238)
+    real_rank = seg_cumsum(real.astype(jnp.int32))
+    is_first_real = real & (real_rank == 1)
+    substitute = jnp.where(is_first_real & (substitute == UNASSIGNED), 0,
+                           substitute)
+    # spacer components: cropped away by the caller; resolve to 0 so they
+    # cost no pointer-jump iterations
+    substitute = jnp.where(valid_comp & is_spacer, 0, substitute)
+
+    leader = jnp.clip(leader_of_comp, 0, n - 1)
+    has_left = (leader % W) > 0
+    nb = jnp.where(has_left, leader - 1, jnp.maximum(leader - W, 0))
+    target = comp_flat[nb]
+    target = jnp.where(citoa == 0, 0, target)
+
+    jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
+
+    def jump_cond(carry):
+        sub, _, step = carry
+        return (step < jump_steps) & jnp.any(sub == UNASSIGNED)
+
+    def jump(carry):
+        sub, t, step = carry
+        sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
+        return sub, t[t], step + 1
+
+    substitute, _, _ = jax.lax.while_loop(
+        jump_cond, jump, (substitute, target, jnp.int32(0)))
+    substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
+
+    if small or not on_tpu:
+        out = substitute[comp_flat].reshape(CH, W)
+    else:
+        seed_ids = jnp.where(valid_comp, leader, n)
+        sub_seed = jnp.full([n + 1], _BIG, jnp.int32
+                            ).at[seed_ids].set(substitute)[:n].reshape(CH, W)
+        m0 = jnp.where(is_leader, sub_seed, _BIG)
+        out = propagate_min_pallas(cca_labels, m0,
+                                   reach=_slic_reach((CH, W), S))
+
+    # per-frame host-re-run flags: boundary tie, unassigned in-frame pixels
+    # (canvas assignment can differ from standalone there), global overflow
+    a3 = assignment.reshape(B, pitch, W)
+    unassigned_f = jnp.any(a3[:, :frame_h, :] == UNASSIGNED, axis=(1, 2))
+    return out, boundary_tie | unassigned_f | overflow
+
+
+def _slic_reach(shape, S=None):
     """Horizontal doubling reach for the propagation kernel: SLIC runs are
     bounded by the component diameter ~2S+1; cap a bit above it (longer
-    adversarial runs just take extra fixpoint passes)."""
+    adversarial runs just take extra fixpoint passes).  Callers that know
+    the actual sampling interval pass it; the fallback guesses from K>=64
+    (conservative: an overestimate only costs doubling steps, an
+    underestimate costs fixpoint passes)."""
     H, W = shape
-    import math as _m
-    S = max(1, int(_m.sqrt((H * W) / 64)))  # conservative: K >= 64
+    if S is None:
+        import math as _m
+        S = max(1, int(_m.sqrt((H * W) / 64)))  # conservative: K >= 64
     return min(W, 4 * S + 2)

@@ -6,15 +6,16 @@ plain numpy, written gather/slice style.  It is the ground truth that the
 XLA and Pallas paths are tested against (tests use small images; the oracle
 is O(K * S^2) python-looped over clusters).
 
-One deliberate deviation from the reference: assignment ties.  The reference
-processes clusters in 4-phase checkerboard cell order and keeps the *first*
-writer on equal distances (context.cpp:223-242, 290), which makes the result
-depend on thread scheduling-invariant but arbitrary cell order.  The TPU
-design is gather-based, so we define the deterministic rule "smallest
-distance wins; ties broken by smallest cluster number", and the oracle
-implements the same rule (ascending-k iteration with strict '<' replace).
-Agreement with the reference binary is therefore bounded by tie pixels only
-(measured >= 0.99 on the reference's own golden images).
+Assignment ties reproduce the reference *exactly*: the reference processes
+clusters in 4-phase checkerboard cell order and keeps the *first* writer on
+equal distances (context.cpp:223-242, 290).  That order is deterministic
+(same-phase cells are >= 2S+64 apart, so it reduces to the lexicographic key
+(phase, cluster_number) — see ``pipeline.visit_order_key``), and the oracle's
+``_assign_pass`` visits clusters in that key order with a strict ``<``
+replace, making the quantized/real/l2/noq paths **bit-identical** to a build
+of the unmodified reference binary (tests/test_golden.py, pinned fixtures in
+tests/data/golden_ref.npz).  LSC matches to >= 0.999 agreement only —
+transcendental LUTs and einsum accumulation order differ in float rounding.
 """
 
 from __future__ import annotations

@@ -11,15 +11,21 @@ broadcast to pixel resolution.  Gathers at pixel granularity are slow on TPU
 and Mosaic has no lane-gather; instead the expansion is written as two 0/1
 *selection matmuls* on the MXU:
 
-    pixels[64, Wp] = rowsel[64, GH] @ field[GH, GW] @ colsel[GW, Wp]
+    pixels[64, Wp] = rowsel[64, CR] @ field[CR, GW] @ colsel[GW, Wp]
 
-with rowsel/colsel built from iota compares (rowsel[r, g] = 1 iff row r lies
-in cell row g).  Each product has exactly one nonzero term, and field values
-are < 2^24, so the f32 matmul is exact.  Everything else is VPU int math
-identical to the XLA oracle path, so the kernel is bit-compatible with it.
+with rowsel/colsel built from iota compares (rowsel[r, c] = 1 iff row r lies
+in the c-th *strip-local* cell row).  Each product has exactly one nonzero
+term, and field values are < 2^24, so the f32 matmul is exact.  Everything
+else is VPU int math identical to the XLA oracle path, so the kernel is
+bit-compatible with it.
 
-VMEM per strip: 3 pixel planes + old/new assignment + ~8 temporaries at
-[64, Wp] int32 (~4 MB for 720p) plus the full candidate tables (~1 MB).
+Candidate fields are gathered per strip OUTSIDE the kernel (a cell-
+granularity gather of CR = (rows-1)*stride//S + 2 cell rows per strip), so
+VMEM holds only the strip's own [CR, C*GW] tables — constant in image
+height.  This is what lets the same kernel serve the batched canvas
+(parallel/canvas.py), whose cell grid is B times taller: VMEM per strip is
+~0.3 MB regardless of batch size, and the rowsel matmul contracts over CR
+(~9) instead of the full GH (hundreds on a canvas).
 """
 
 from __future__ import annotations
@@ -39,34 +45,37 @@ _U32_MAX = 0xFFFFFFFF
 
 def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
                    cv_ref, cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
-                   out_a_ref, out_d_ref, *, S, GH, GW, C, rows, W_real,
-                   H_real, manhattan):
+                   out_a_ref, out_d_ref, *, S, GH, GW, C, CR, rows,
+                   stride, W_real, H_real, manhattan):
     gi = pl.program_id(0)
     Wp = p0_ref.shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
-    stride = scal_ref[2].astype(jnp.int32)
 
     # Rows of this strip are the subsampled rows (row index r maps to the
     # absolute image row r*stride + rem); full passes use stride=1, rem=0.
     row_abs0 = gi * rows  # first subsampled row of this strip
 
+    # strip-local cell row base — must match _strip_gather_base exactly
+    base_cell = row_abs0 * stride + rem
+    base_cell = jnp.clip(base_cell // S, 0, max(GH - CR, 0))
+
     # selection matrices from iota compares.  All expansion matmuls run in
     # bf16 at full MXU rate; exactness holds because operands are split into
     # byte halves (<= 255, bf16-exact) and each output has exactly one
     # nonzero term, accumulated in f32.
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 0)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, GH), 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 1)
     abs_r = (row_abs0 + r_iota) * stride + rem
-    rowsel = (abs_r // S == g_iota).astype(jnp.bfloat16)
+    rowsel = (abs_r // S - base_cell == c_iota).astype(jnp.bfloat16)
 
     gc_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
     colsel = (j_iota // S == gc_iota).astype(jnp.bfloat16)
 
     def rowx(ref, split):
-        """Row-expand a [GH, C*GW] field -> half pair(s) [rows, C*GW]."""
-        f = ref[:]
+        """Row-expand a [1, CR, C*GW] field -> half pair(s) [rows, C*GW]."""
+        f = ref[0]
         if split:
             fh = jnp.floor(f / 256.0)
             fl = f - fh * 256.0
@@ -145,9 +154,14 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     out_d_ref[:] = jnp.where(write, m >> 7, jnp.full_like(m, 0xFFFF))
 
 
+def _strip_rows_cr(GH: int, S: int, stride: int, rows: int) -> int:
+    """Cell rows a strip can touch: (rows-1)*stride spanned + partial ends."""
+    return min(GH, (rows - 1) * stride // S + 2)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "GH", "GW", "C", "H", "W", "manhattan",
+    static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
                      "interpret"))
 def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                            stride, *, S, GH, GW, C, H, W, manhattan,
@@ -156,32 +170,45 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
 
     planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
     rounded up to a lane multiple); old_assign int32 [Hp, Wp];
-    cell_fields: tuple of 7 f32 [GH, C*GW] arrays (y, x, r, g, b, valid, id).
+    cell_fields: tuple of 7 f32 [GH, C*GW] arrays (y, x, r, g, b, valid, id);
+    stride: STATIC python int (row r of the input maps to absolute image
+    row r*stride + rem); rem: traced int32 scalar.
     Returns (assignment int32 [Hp, Wp], min_dists int32 [Hp, Wp]).
     """
     _, Hp, Wp = planes3.shape
     rows = 64
     n_strips = Hp // rows
+    CR = _strip_rows_cr(GH, S, stride, rows)
+
+    # per-strip cell-row gather (cell granularity: n_strips * CR indexed
+    # rows of C*GW, a few thousand rows — NOT a pixel-scale gather)
+    rem_i = rem.astype(jnp.int32)
+    base = (jnp.arange(n_strips, dtype=jnp.int32) * (rows * stride) + rem_i)
+    base = jnp.clip(base // S, 0, max(GH - CR, 0))
+    idx = base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
+    stack = jnp.stack(cell_fields, 0)                 # [7, GH, C*GW]
+    strips = stack[:, idx, :]                         # [7, n_strips, CR, C*GW]
+
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
-                      rem.astype(jnp.float32),
-                      stride.astype(jnp.float32)])
+                      rem_i.astype(jnp.float32)])
 
     kernel = functools.partial(
-        _assign_kernel, S=S, GH=GH, GW=GW, C=C, rows=rows, W_real=W,
-        H_real=H, manhattan=manhattan)
+        _assign_kernel, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
+        stride=stride, W_real=W, H_real=H, manhattan=manhattan)
     out_a, out_d = pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [full] * 7 +
+                 [cells] * 7 +
                  [strip, strip, strip, strip],
         out_specs=(strip, strip),
         out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)),
         interpret=interpret,
-    )(scal, *cell_fields, planes3[0], planes3[1], planes3[2], old_assign)
+    )(scal, *(strips[i] for i in range(7)),
+      planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d
 
 

@@ -79,6 +79,103 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
     jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
 
 
+def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
+    """SLIC centroid-update segment sum with in-kernel value construction.
+
+    in_ref rows: 0 = cluster ids (masked pixels carry their nearest valid
+    id so the hi-bucket band stays tight; their values are zeroed by row 1),
+    1 = mask (0/1), 2..4 = quad color planes.  Accumulates
+    [count, ii, jj, r, g, b] per cluster — the reference's update
+    accumulators (context.cpp:309-354) — without materializing the [N, 6]
+    value tensor in HBM.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rem = scal_ref[0]
+    ids = in_ref[0:1, :]
+    mask = in_ref[1:2, :]
+    # pixel coordinates from the flat subsampled index (row r of the sliced
+    # image is absolute row r*stride + rem)
+    pix = step * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ii = (pix // W) * stride + rem
+    jj = pix % W
+    vals = jnp.concatenate(
+        [mask, ii * mask, jj * mask,
+         in_ref[2:3, :] * mask, in_ref[3:4, :] * mask,
+         in_ref[4:5, :] * mask,
+         jnp.zeros((2, tile), jnp.int32)], axis=0)        # [8, tile]
+
+    hi_row = ids // _LO
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+    oh_t = (ids % _LO == lo_iota).astype(jnp.bfloat16)
+
+    v_hi = (vals >> 8).astype(jnp.bfloat16)
+    v_lo = (vals & 0xFF).astype(jnp.bfloat16)
+
+    band_lo = jnp.min(hi_row)
+    band_hi = jnp.max(hi_row)
+
+    def body(h, carry):
+        m = (hi_row == h).astype(jnp.bfloat16)
+
+        def mm(a):
+            return jax.lax.dot_general(
+                a * m, oh_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        part = mm(v_hi).astype(jnp.int32) * 256 + mm(v_lo).astype(jnp.int32)
+        out_ref[pl.ds(h * 8, 8), :] += part
+        return carry
+
+    jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "W", "stride",
+                                             "interpret"))
+def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
+                       W: int, stride: int, interpret: bool):
+    """Fused SLIC update accumulation: ids int32 [N] in [0, num_segments]
+    (use the nearest valid id for masked pixels), mask int32 [N] (0 zeroes
+    a pixel's contribution), p0..p2 int32 [N] quad planes of the SLICED
+    (subsampled) image whose row r is absolute row r*stride + rem.
+    Returns int32 [6, num_segments + 1]: count, sum_i, sum_j, sums r/g/b.
+    """
+    N = ids.shape[0]
+    tile = 4096
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    Kp = -(-(num_segments + 1) // _LO) * _LO
+    n_hi = Kp // _LO
+
+    pack = jnp.zeros((8, Np), jnp.int32)
+    # pad ids with the final real id so the last tile's band stays tight;
+    # padding mask is 0 so the values vanish
+    pack = pack.at[0, :].set(jnp.broadcast_to(ids[-1], (Np,)))
+    pack = pack.at[0, :N].set(ids)
+    pack = pack.at[1, :N].set(mask)
+    pack = pack.at[2, :N].set(p0)
+    pack = pack.at[3, :N].set(p1)
+    pack = pack.at[4, :N].set(p2)
+    scal = jnp.stack([rem.astype(jnp.int32)])
+
+    out = pl.pallas_call(
+        functools.partial(_update_kernel, tile=tile, W=W, stride=stride,
+                          K=num_segments),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((n_hi * 8, _LO), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_hi * 8, _LO), jnp.int32),
+        interpret=interpret,
+    )(scal, pack)
+    out = out.reshape(n_hi, 8, _LO).transpose(1, 0, 2).reshape(8, Kp)
+    return out[:6, :num_segments + 1]
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
 def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     """ids: int32 [N] in [0, num_segments]; vals: int32 [V, N] with

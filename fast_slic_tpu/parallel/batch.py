@@ -1,97 +1,254 @@
-"""Batched (video) SLIC over a device mesh.
+"""Batched (video) SLIC over a device mesh — canvas-based.
 
-``BatchedSlic`` runs the full iterate pipeline vmapped over a batch of
-frames and jitted with (data, space) shardings: frames are distributed over
-the ``data`` axis and each frame's rows over the ``space`` axis.  GSPMD
-partitions the elementwise/windowed pixel ops and turns the per-cluster
-segment-sums into partial sums + psum — the TPU-native analog of the
-reference's thread-local accumulate + critical merge (context.cpp:309-354).
+``BatchedSlic`` runs the full iterate pipeline over a batch of frames by
+stacking them into one tall canvas (see parallel/canvas.py), so every Pallas
+kernel and XLA op amortizes across the batch at full-grid occupancy — the
+round-1 ``vmap``-over-frames formulation collapsed kernel throughput ~30x.
+On a multi-device mesh the batch is split over the ``data`` axis with
+``shard_map``: each device builds and processes its own canvas; frames are
+independent, so no collectives are needed in the step (the TPU-native analog
+of running one fast-slic process per core).
+
+Exactness contract (matching the single-frame ``Slic``/runner path,
+runner.py:48-82): candidate-capacity overflow re-runs the batch with larger
+capacity; per-frame CCA boundary-tie / unassigned flags re-run that frame's
+connectivity enforcement on the host for bit-parity.  Canvas batching is
+bit-exact for the quantized-centroid variants (standard/real/real_l2);
+``real_noq``/``lsc`` float centroid means are not shift-invariant, so those
+variants fall back to a vmapped per-frame pipeline (correct, slower).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import cluster as cluster_lib
 from ..cluster import Clusters
-from ..config import RuntimeParams, StaticConfig
-from ..pipeline import iterate_graph
+from ..config import (ARCH_PALLAS, ARCH_XLA, StaticConfig, UNASSIGNED,
+                      VARIANT_LSC, VARIANT_REAL_NOQ, resolve_arch)
+from ..pipeline import derive_scalars, iterate_graph
+from . import canvas as canvas_lib
 from .mesh import make_mesh
 
 
+def _default_arch():
+    return ARCH_PALLAS if jax.default_backend() == "tpu" else ARCH_XLA
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled_batched(cfg: StaticConfig, max_iter: int, stride: int, mesh):
-    img_sh = NamedSharding(mesh, P("data", "space"))
-    lbl_sh = NamedSharding(mesh, P("data", "space"))
-    cl_sh = NamedSharding(mesh, P("data"))
+def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
+                          mesh, B_local: int):
+    """One canvas iterate step.  Takes per-frame state ([B, K] fields,
+    frame-local y) and [B, H, W, 3] frames; returns per-frame labels,
+    state, per-frame flags and the cropped raw assignment (for host CCA
+    re-runs).  With a mesh, shard_mapped over the ``data`` axis."""
+    B = cfg.canvas_frames if mesh is None else None
+    pitch, fh = cfg.canvas_pitch, cfg.canvas_frame_h
 
+    def local_step(images_l, st_l, scalars):
+        # images_l: [B_l, H, W, 3]; st_l: Clusters with [B_l, K] fields
+        B_l = images_l.shape[0]
+        cv = jnp.zeros((B_l, pitch, images_l.shape[2], 3), images_l.dtype)
+        cv = cv.at[:, :fh].set(images_l)
+        cv = cv.reshape(B_l * pitch, images_l.shape[2], 3)
+        st_canvas = canvas_lib.stack_cluster_state(st_l, pitch)
+        out = iterate_graph(cv, st_canvas, cfg, scalars, max_iter, stride)
+        labels = canvas_lib.crop_canvas_labels(out.labels, B_l, pitch, fh)
+        raw = canvas_lib.crop_canvas_labels(out.raw_assignment, B_l, pitch,
+                                            fh)
+        # raw labels are global (f*K + k): make them frame-local for the
+        # host CCA re-run path
+        offs = (jnp.arange(B_l, dtype=jnp.int32) * cfg.frame_K)[:, None,
+                                                                None]
+        raw = jnp.where(raw == UNASSIGNED, UNASSIGNED, raw - offs)
+        st_out = canvas_lib.unstack_cluster_state(out.clusters, B_l, pitch)
+        flags = out.cca_tie                                  # [B_l]
+        return labels, st_out, flags, out.cand_overflow, raw
+
+    if mesh is None:
+        def step(images, st, scalars):
+            return local_step(images, st, scalars)
+        return jax.jit(step)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = mesh.shape["data"]
+
+    def sharded(images, st, scalars):
+        # images: [D*B_local, H, W, 3]; shard_map gives each device its
+        # B_local frames; ovf is any-reduced across devices
+        labels, st_out, flags, ovf, raw = local_step(images, st, scalars)
+        return labels, st_out, flags, jnp.any(
+            jax.lax.all_gather(ovf, "data")), raw
+
+    specs_st = Clusters(*([P("data")] * 8))
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P("data"), specs_st, P()),
+        out_specs=(P("data"), specs_st, P("data"), P(), P("data")),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_vmap_step(cfg: StaticConfig, max_iter: int, stride: int,
+                        mesh):
+    """Per-frame vmapped fallback (real_noq / lsc variants: float centroid
+    means are not canvas-shift-invariant).  Slower on a single chip; still
+    sharded over the mesh's data axis when one is given."""
     def step(images, clusters, scalars):
-        images = jax.lax.with_sharding_constraint(images, img_sh)
-
         def one(image, st):
             out = iterate_graph(image, st, cfg, scalars, max_iter, stride)
-            return out.labels, out.clusters
+            return (out.labels, out.clusters, out.cca_tie,
+                    out.cand_overflow, out.raw_assignment)
 
-        labels, out_st = jax.vmap(one)(images, clusters)
-        labels = jax.lax.with_sharding_constraint(labels, lbl_sh)
-        return labels, out_st
+        labels, st, tie, ovf, raw = jax.vmap(one)(images, clusters)
+        return labels, st, tie, jnp.any(ovf), raw
 
-    return jax.jit(
-        step,
-        in_shardings=(img_sh, cl_sh, None),
-        out_shardings=(lbl_sh, cl_sh),
-    )
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    dsh = NamedSharding(mesh, P("data"))
+    cl_sh = jax.tree.map(lambda _: dsh, Clusters(*([0] * 8)))
+    return jax.jit(step, in_shardings=(dsh, cl_sh, None),
+                   out_shardings=(dsh, cl_sh, dsh, None, dsh))
 
 
 class BatchedSlic:
-    """Video-batch SLIC: iterate() over [B, H, W, 3] frames on a mesh.
+    """Video-batch SLIC: iterate() over [B, H, W, 3] frames.
 
     Cluster state is tracked per frame ([B, K] arrays), so each stream
     position warm-starts from its previous frame — the video pattern the
-    reference achieves by reusing one Slic object per stream.
+    reference achieves by reusing one Slic object per stream.  Labels are
+    returned as a device int32 [B, H, W] array (-1 = unassigned) so a video
+    loop can keep everything on-device; np.asarray() it to materialize.
+
+    Exactness flags from the device pipeline are handled like the
+    single-frame runner: candidate overflow re-runs the batch at higher
+    capacity, per-frame CCA ties re-run that frame's connectivity
+    enforcement on the host (set ``check_exactness=False`` to skip the
+    host sync and accept the device CCA's deterministic tie rule).
     """
 
     def __init__(self, num_components=400, compactness=10.0,
                  min_size_factor=0.25, subsample_stride=3,
                  convert_to_lab=True, manhattan_spatial_dist=True,
-                 arch="xla", mesh=None):
+                 variant="standard", preemptive=False, preemptive_thres=0.05,
+                 arch=None, mesh=None, check_exactness=True):
         self.num_components = num_components
         self.compactness = compactness
         self.min_size_factor = min_size_factor
         self.subsample_stride = subsample_stride
         self.convert_to_lab = convert_to_lab
         self.manhattan_spatial_dist = manhattan_spatial_dist
-        self.arch = arch
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self._state = None  # batched Clusters
+        self.variant = variant
+        self.preemptive = preemptive
+        self.preemptive_thres = preemptive_thres
+        self.arch = resolve_arch(arch) if arch is not None else None
+        self.mesh = mesh
+        self.check_exactness = check_exactness
+        self._state = None  # per-frame Clusters ([B, K] fields)
+        self._capacity_boost = 0
 
-    def _cfg(self, H, W):
-        return StaticConfig(
-            H=H, W=W, K=self.num_components, arch=self.arch,
+    # -- configuration -------------------------------------------------
+    def _use_canvas(self):
+        return self.variant not in (VARIANT_REAL_NOQ, VARIANT_LSC)
+
+    def _cfg(self, B, H, W):
+        arch = self.arch if self.arch is not None else _default_arch()
+        kw = dict(
+            arch=arch, variant=self.variant,
             convert_to_lab=self.convert_to_lab,
-            manhattan_spatial_dist=self.manhattan_spatial_dist)
+            manhattan_spatial_dist=self.manhattan_spatial_dist,
+            preemptive=self.preemptive)
+        if self._capacity_boost:
+            kw["cell_capacity"] = 4 * (4 ** self._capacity_boost)
+            kw["cand_slots"] = min(9 * kw["cell_capacity"], 120)
+        if self._use_canvas():
+            B_local = B if self.mesh is None else B // self.mesh.shape["data"]
+            return canvas_lib.make_canvas_config(
+                B_local, H, W, self.num_components,
+                int(self.subsample_stride), **kw)
+        return StaticConfig(H=H, W=W, K=self.num_components, **kw)
 
-    def initialize(self, images: np.ndarray):
-        """Seed per-frame cluster states from the first batch."""
+    # -- state ----------------------------------------------------------
+    def initialize(self, images):
+        """Seed per-frame cluster states from the first batch (host-side
+        grid seeding, once per stream)."""
         states = [cluster_lib.initialize_clusters(img, self.num_components)
                   for img in np.asarray(images)]
         self._state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
+    # -- hot path --------------------------------------------------------
     def iterate(self, images, max_iter=10):
-        images = np.ascontiguousarray(images, np.uint8)
+        """images: uint8 [B, H, W, 3] — numpy or an already-on-device jax
+        array (a video loop should stage frames on-device once and keep the
+        whole loop device-resident; re-uploading per call costs host->device
+        bandwidth)."""
+        if not isinstance(images, jax.Array):
+            images = jnp.asarray(np.ascontiguousarray(images, np.uint8))
+        if images.dtype != jnp.uint8:
+            raise ValueError("images must be uint8")
         B, H, W, _ = images.shape
+        if self.mesh is not None and B % self.mesh.shape["data"]:
+            raise ValueError("batch size %d must divide over the data axis "
+                             "(%d devices)" % (B, self.mesh.shape["data"]))
         if self._state is None:
             self.initialize(images)
-        cfg = self._cfg(H, W)
-        from ..pipeline import derive_scalars
-        fn = _compiled_batched(cfg, int(max_iter), int(self.subsample_stride),
-                               self.mesh)
-        scalars = derive_scalars(cfg, self.compactness, self.min_size_factor,
-                                 0.05)
-        labels, self._state = fn(jnp.asarray(images), self._state, scalars)
+
+        cfg = self._cfg(B, H, W)
+        scalars = derive_scalars(cfg, self.compactness,
+                                 self.min_size_factor,
+                                 self.preemptive_thres)
+        if self._use_canvas():
+            B_local = B if self.mesh is None else B // self.mesh.shape["data"]
+            fn = _compiled_canvas_step(cfg, int(max_iter),
+                                       int(self.subsample_stride),
+                                       self.mesh, B_local)
+        else:
+            fn = _compiled_vmap_step(cfg, int(max_iter),
+                                     int(self.subsample_stride), self.mesh)
+
+        labels, st, flags, ovf, raw = fn(images, self._state, scalars)
+        self.last_flags = flags  # per-frame exactness flags (device [B] bool)
+
+        if self.check_exactness:
+            if bool(np.asarray(ovf)) and self._capacity_boost < 2:
+                # candidate capacity exceeded: recompile at 4x capacity and
+                # re-run this batch (runner.py escalation semantics)
+                self._capacity_boost += 1
+                return self.iterate(images, max_iter)
+            flags_np = np.asarray(flags)
+            if flags_np.any():
+                labels = self._host_cca_rerun(labels, raw, flags_np, cfg,
+                                              scalars)
+        self._state = st
         return labels
+
+    def _host_cca_rerun(self, labels, raw, flags_np, cfg, scalars):
+        """Bit-parity escalation: re-run connectivity enforcement on the
+        host for every flagged frame (CCA top-K area tie / unassigned
+        pixels / component overflow — ops/cca.py docstring)."""
+        from .. import native
+        labels_np = np.asarray(labels).copy()
+        raw_np = np.asarray(raw)
+        K = cfg.frame_K if cfg.is_canvas else cfg.K
+        for f in np.nonzero(flags_np)[0]:
+            if native.available():
+                fixed = native.enforce_connectivity_native(
+                    raw_np[f], K, int(scalars.thres))
+            else:  # pragma: no cover - g++ present in supported envs
+                from ..ops.cca import enforce_connectivity_xla
+                fixed = np.asarray(enforce_connectivity_xla(
+                    jnp.asarray(raw_np[f].astype(np.int32)), K,
+                    jnp.int32(int(scalars.thres))))
+            out_f = fixed.astype(np.int32)
+            out_f[fixed == UNASSIGNED] = -1
+            labels_np[f] = out_f
+        return jnp.asarray(labels_np)

@@ -38,10 +38,11 @@ def _compiled_spatial(cfg: StaticConfig, max_iter: int, stride: int, mesh):
         image = jax.lax.with_sharding_constraint(image, img_sh)
         out = iterate_graph(image, clusters, cfg, scalars, max_iter, stride)
         labels = jax.lax.with_sharding_constraint(out.labels, lbl_sh)
-        return labels, out.clusters
+        return (labels, out.clusters, out.cca_tie, out.cand_overflow,
+                out.raw_assignment)
 
     return jax.jit(step, in_shardings=(img_sh, None, None),
-                   out_shardings=(lbl_sh, None))
+                   out_shardings=(lbl_sh, None, None, None, lbl_sh))
 
 
 class ShardedSlic:
@@ -72,5 +73,38 @@ class ShardedSlic:
                                int(self.subsample_stride), self.mesh)
         scalars = derive_scalars(cfg, self.compactness, self.min_size_factor,
                                  0.05)
-        labels, self._state = fn(jnp.asarray(image), self._state, scalars)
+        labels, state, tie, ovf, raw = fn(jnp.asarray(image), self._state,
+                                          scalars)
+        if bool(np.asarray(ovf)):
+            # candidate capacity exceeded (extreme centroid crowding):
+            # single-frame runner escalation semantics (runner.py:48-56)
+            from ..runner import run_iterate
+            from ..config import RuntimeParams
+            params = RuntimeParams(
+                compactness=self.compactness,
+                min_size_factor=self.min_size_factor,
+                subsample_stride=int(self.subsample_stride),
+                max_iter=int(max_iter))
+            lab16, st, _ = run_iterate(cfg, image, jax.tree.map(
+                np.asarray, self._state), params)
+            self._state = jax.tree.map(jnp.asarray, st)
+            return jnp.asarray(lab16.astype(np.int32))
+        if bool(np.asarray(tie)):
+            # CCA top-K boundary-area tie: bit-parity host re-run
+            # (ops/cca.py docstring, runner.py:60-82)
+            from .. import native
+            from ..config import UNASSIGNED
+            raw_np = np.asarray(raw)
+            if native.available():
+                fixed = native.enforce_connectivity_native(
+                    raw_np, cfg.K, int(scalars.thres))
+            else:  # pragma: no cover - g++ present in supported envs
+                from ..ops.cca import enforce_connectivity_xla
+                fixed = np.asarray(enforce_connectivity_xla(
+                    jnp.asarray(raw_np.astype(np.int32)), cfg.K,
+                    jnp.int32(int(scalars.thres))))
+            out = fixed.astype(np.int32)
+            out[fixed == UNASSIGNED] = -1
+            labels = jnp.asarray(out)
+        self._state = state
         return labels

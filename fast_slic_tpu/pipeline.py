@@ -83,7 +83,13 @@ def visit_order_key(y, x, cfg: StaticConfig):
     """
     S, K = cfg.S, cfg.K
     T = 2 * S + 32
-    ci = (y.astype(jnp.int32) // T)
+    yi = y.astype(jnp.int32)
+    if cfg.is_canvas:
+        # frame-local coordinates: each stacked frame must reproduce its
+        # standalone phase pattern (cluster centroids never leave their
+        # frame's rows, so y % pitch is the frame-local row)
+        yi = yi % cfg.canvas_pitch
+    ci = yi // T
     cj = (x.astype(jnp.int32) // T)
     phase = 2 * (ci % 2) + (cj % 2)
     return phase * K + jnp.arange(K, dtype=jnp.int32)
@@ -391,7 +397,12 @@ def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
     analog of the reference's thread-local accumulators + critical merge
     (context.cpp:309-354).
     """
-    assert max_val < (1 << 16)
+    if max_val >= (1 << 16):
+        raise ValueError(
+            "segment_sum_matmul requires values < 2**16 (byte-split bf16 "
+            "matmuls stay exact); got max_val=%d. For pixel ids, split into "
+            "more sub-16-bit parts (see ops/cca.py leader packing)."
+            % max_val)
     if jax.default_backend() != "tpu":
         # CPU/GPU: native scatter-add is fast and exact; interpret-mode
         # Pallas would crawl
@@ -458,21 +469,26 @@ def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
                                  ).at[:Hs, :W].set(old_sub)
             a, d = assign_pallas_standard(
                 p3_sub, old_sub_p, fields, jnp.asarray(coef, jnp.float32),
-                jnp.asarray(rem, jnp.int32), jnp.asarray(stride, jnp.int32),
+                jnp.asarray(rem, jnp.int32), stride,
                 S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
                 manhattan=cfg.manhattan_spatial_dist, interpret=interp)
             new3 = old3.at[:, rem, :].set(a[:Hs, :W])
             assignment = new3.reshape(Hv, W)[:H]
-            dist_full = jnp.full((Hs, stride, W), 0xFFFF, jnp.int32
-                                 ).at[:, rem, :].set(d[:Hs, :W])
-            min_dists = dist_full.reshape(Hv, W)[:H]
+            if cfg.debug_mode:
+                dist_full = jnp.full((Hs, stride, W), 0xFFFF, jnp.int32
+                                     ).at[:, rem, :].set(d[:Hs, :W])
+                min_dists = dist_full.reshape(Hv, W)[:H]
+            else:
+                # stride-pass distances are recorder-only (the reference
+                # resets them every pass); skip the full-size scatter-back
+                min_dists = jnp.full((H, W), 0xFFFF, jnp.int32)
             return AssignResult(assignment, min_dists)
 
         old_p = jnp.full((Hp, Wp), UNASSIGNED, jnp.int32
                          ).at[:H, :W].set(old_assignment)
         a, d = assign_pallas_standard(
             planes3_padded, old_p, fields, jnp.asarray(coef, jnp.float32),
-            jnp.asarray(rem, jnp.int32), jnp.asarray(stride, jnp.int32),
+            jnp.asarray(rem, jnp.int32), int(stride),
             S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
             manhattan=cfg.manhattan_spatial_dist, interpret=interp)
         return AssignResult(a[:H, :W], d[:H, :W])
@@ -486,6 +502,7 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
     (round_int-)means for updatable clusters (context.cpp:302-387)."""
     H, W, K = cfg.H, cfg.W, cfg.K
     quantized = cfg.variant != VARIANT_REAL_NOQ
+    on_tpu = jax.default_backend() == "tpu"
 
     if isinstance(stride, int) and stride > 1:
         # only rows with i % stride == rem contribute: slice them out instead
@@ -500,8 +517,6 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
             [planes, jnp.zeros((pad, W, 3), planes.dtype)], 0
         ).reshape(Hs, stride, W, 3)
         p_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=1, keepdims=False)
-        ii = (jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 0) * stride + rem)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 1)
         mask = a_sub != UNASSIGNED
         if pixel_mask is not None:
             m3 = jnp.concatenate(
@@ -509,25 +524,40 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
             ).reshape(Hs, stride, W)
             mask = mask & jax.lax.dynamic_index_in_dim(
                 m3, rem, axis=1, keepdims=False)
-        ids = jnp.where(mask, a_sub, K).ravel()
-        vals = jnp.stack(
-            [mask.astype(jnp.int32), ii, jj,
-             p_sub[..., 0], p_sub[..., 1], p_sub[..., 2]], axis=-1,
-        ).reshape(-1, 6)
-        # padded rows have mask False -> sentinel id; their iota values are
-        # harmless (summed into the dropped bin)
+        a_eff, p_eff, eff_stride = a_sub, p_sub, stride
     else:
-        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        mask = ((ii % stride) == rem) & (assignment != UNASSIGNED)
+        ii0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        mask = ((ii0 % stride) == rem) & (assignment != UNASSIGNED)
         if pixel_mask is not None:
             mask = mask & pixel_mask
-        ids = jnp.where(mask, assignment, K).ravel()
+        a_eff, p_eff, eff_stride = assignment, planes, 1
+
+    if on_tpu and isinstance(eff_stride, int):
+        # fused kernel: builds [count, i, j, r, g, b] per pixel in VMEM
+        # (pallas/segsum_tpu.slic_update_pallas) — no [N, 6] value tensor in
+        # HBM.  Masked pixels keep their (valid) cluster id with a zero mask
+        # so the hi-bucket band guard stays tight even under preemptive
+        # masking; never-assigned pixels go to the dropped bin K.
+        from .pallas.segsum_tpu import slic_update_pallas
+        ids2 = jnp.where(a_eff != UNASSIGNED, a_eff, K).ravel()
+        rem_i = (jnp.asarray(rem, jnp.int32) if eff_stride > 1
+                 else jnp.zeros((), jnp.int32))
+        acc6 = slic_update_pallas(
+            ids2, mask.astype(jnp.int32).ravel(),
+            p_eff[..., 0].ravel(), p_eff[..., 1].ravel(),
+            p_eff[..., 2].ravel(), rem_i, K, W, eff_stride, False)
+        acc = jnp.transpose(acc6)[:K]
+    else:
+        Hv = a_eff.shape[0]
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (Hv, W), 0) * eff_stride
+              + (rem if eff_stride > 1 else 0))
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hv, W), 1)
+        ids = jnp.where(mask, a_eff, K).ravel()
         vals = jnp.stack(
-            [jnp.ones_like(ii), ii, jj, planes[..., 0], planes[..., 1],
-             planes[..., 2]], axis=-1,
+            [mask.astype(jnp.int32), ii, jj,
+             p_eff[..., 0], p_eff[..., 1], p_eff[..., 2]], axis=-1,
         ).reshape(-1, 6)
-    acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
+        acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
     counts = acc[:, 0]
     sums = acc[:, 1:]
 
@@ -589,11 +619,35 @@ def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
         st.is_updatable,
     )
     upd2 = new_updatable > 0
-    dy = jnp.abs(st.y[:, None] - st.y[None, :])
-    dx = jnp.abs(st.x[:, None] - st.x[None, :])
-    near = (dy <= 2 * S) & (dx <= 2 * S)          # [k, n]
-    is_active = jnp.any(near & upd2[:, None], axis=0).astype(jnp.int32)
-    all_active = jnp.all(is_active == 1)
+    # int-cast centers before the nearness test: the reference reads
+    # `int y = cluster->y` (preemptive.h:150-164), so non-integer centroids
+    # (real-dist variants) truncate before the |dy| <= 2S compare.
+    yi = jnp.trunc(st.y)
+    xi = jnp.trunc(st.x)
+    B = cfg.canvas_frames
+    if cfg.is_canvas:
+        # canvas mode: nearness is block-diagonal per frame (clusters of
+        # different frames can be < 2S apart across the spacer but must not
+        # re-activate each other); pitch % 2S == 0 keeps the cell grid
+        # frame-aligned (enforced by make_canvas_config)
+        Kf = cfg.frame_K
+        yb = yi.reshape(B, Kf)
+        xb = xi.reshape(B, Kf)
+        ub = upd2.reshape(B, Kf)
+        near = ((jnp.abs(yb[:, :, None] - yb[:, None, :]) <= 2 * S)
+                & (jnp.abs(xb[:, :, None] - xb[:, None, :]) <= 2 * S))
+        is_active = jnp.any(near & ub[:, :, None], axis=1).astype(jnp.int32)
+        all_active_f = jnp.all(is_active == 1, axis=1)      # [B]
+        is_active = is_active.reshape(-1)
+        # per-frame all_active expanded to pitch rows of the canvas
+        all_active_rows = jnp.repeat(all_active_f, cfg.canvas_pitch,
+                                     total_repeat_length=cfg.H)[:, None]
+    else:
+        dy = jnp.abs(yi[:, None] - yi[None, :])
+        dx = jnp.abs(xi[:, None] - xi[None, :])
+        near = (dy <= 2 * S) & (dx <= 2 * S)          # [k, n]
+        is_active = jnp.any(near & upd2[:, None], axis=0).astype(jnp.int32)
+        all_active_rows = jnp.all(is_active == 1)
 
     # active 2S-cell grid -> pixel mask
     CH = -(-cfg.H // (2 * S))
@@ -604,7 +658,7 @@ def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
     grid = jnp.zeros([CH * CW], jnp.int32).at[cell].max(is_active)
     grid = grid.reshape(CH, CW) > 0
     px = jnp.repeat(jnp.repeat(grid, 2 * S, 0)[: cfg.H], 2 * S, 1)[:, : cfg.W]
-    px = px | all_active
+    px = px | all_active_rows
 
     st = Clusters(
         y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
@@ -615,17 +669,22 @@ def _preemptive_step(st: Clusters, old_y, old_x, cfg: StaticConfig,
     return st, px
 
 
-def iterate_graph(image, st: Clusters, cfg: StaticConfig,
-                  scalars: DerivedScalars, max_iter: int, stride: int):
-    """The full iterate() pipeline as one traceable function.
+def _mask_spacer(assignment, cfg: StaticConfig):
+    """Canvas mode: spacer rows must never hold assignments (cluster windows
+    of the frame above/below can cover them, and a spacer assignment would
+    leak into the centroid update — see parallel/canvas.py)."""
+    if not cfg.is_canvas:
+        return assignment
+    frame_row = (jax.lax.broadcasted_iota(jnp.int32, (cfg.H, 1), 0)
+                 % cfg.canvas_pitch)
+    return jnp.where(frame_row < cfg.canvas_frame_h, assignment, UNASSIGNED)
 
-    image: uint8 [H, W, 3].  Returns (labels int32 [H, W] with -1 for
-    unassigned, final Clusters, min_dists of the last full assign, and — when
-    cfg.debug_mode — stacked per-iteration recorder snapshots).
-    """
-    H, W, S, K = cfg.H, cfg.W, cfg.S, cfg.K
-    coef = jnp.asarray(scalars.coef, jnp.float32)
 
+def stage_setup(image, st: Clusters, cfg: StaticConfig,
+                scalars: DerivedScalars):
+    """cielab conversion + cluster color re-seed + LSC feature build +
+    preemptive-grid init (context.cpp:114-157)."""
+    H, W, K = cfg.H, cfg.W, cfg.K
     if cfg.convert_to_lab:
         if jax.default_backend() == "tpu":
             # fused Pallas conversion: the XLA gather form executes its six
@@ -640,6 +699,8 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
     # re-seed cluster colors from the quad image (context.cpp:128-135)
     cyi = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
     cxi = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
+    # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
+    # `preemptive` flag — is_updatable is reset to the cooldown for everyone.
     st = Clusters(
         y=st.y, x=st.x,
         r=planes[cyi, cxi, 0].astype(jnp.float32),
@@ -647,34 +708,33 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
         b=planes[cyi, cxi, 2].astype(jnp.float32),
         num_members=st.num_members,
         is_active=st.is_active,
-        is_updatable=st.is_updatable,
+        is_updatable=jnp.full([K], _PREEMPTIVE_COOLDOWN, jnp.int32),
     )
-
-    planes3_padded = (_pad_planes_for_pallas(planes, cfg)
-                      if _use_pallas_assign(cfg) else None)
 
     lsc_feats = lsc_cent = lsc_w = None
     if cfg.variant == VARIANT_LSC:
         lsc_feats, lsc_w = lsc_ops.features(planes, cfg, scalars.lsc_tables)
         lsc_cent = lsc_ops.seed_centroids(lsc_feats, st, cfg)
+    return planes, st, (lsc_feats, lsc_w, lsc_cent)
 
-    # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
-    # `preemptive` flag — is_updatable is reset to the cooldown for everyone.
-    st = Clusters(
-        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
-        num_members=st.num_members, is_active=st.is_active,
-        is_updatable=jnp.full([K], _PREEMPTIVE_COOLDOWN, jnp.int32),
-    )
+
+def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
+               scalars: DerivedScalars, max_iter: int, stride: int):
+    """max_iter x (assign, update) with row subsampling + rotating remainder
+    (context.cpp:158-175), as one lax.scan."""
+    H, W = cfg.H, cfg.W
+    coef = jnp.asarray(scalars.coef, jnp.float32)
+    lsc_feats, lsc_w, lsc_cent = lsc_state
+    planes3_padded = (_pad_planes_for_pallas(planes, cfg)
+                      if _use_pallas_assign(cfg) else None)
+
     pixel_mask = jnp.ones([H, W], bool)
-
     assignment = jnp.full([H, W], UNASSIGNED, jnp.int32)
     dist_reset = 0xFFFF if cfg.variant == VARIANT_STANDARD else _F32_MAX
     dist_dtype = jnp.int32 if cfg.variant == VARIANT_STANDARD else jnp.float32
     min_dists = jnp.full([H, W], dist_reset, dist_dtype)
 
-    snap0 = None
-    if cfg.debug_mode:
-        snap0 = (assignment, min_dists, st)
+    snap0 = (assignment, min_dists, st) if cfg.debug_mode else None
 
     # main loop as a scan: one traced iteration body, static trip count
     rems = jnp.array([i % stride for i in range(max_iter)], jnp.int32)
@@ -687,6 +747,7 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
         res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
                               assignment, rem, stride, lsc_feats, lsc_cent_c)
         assignment, min_dists = res
+        assignment = _mask_spacer(assignment, cfg)
         old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
         st = update_xla(planes, assignment, st, cfg, rem, stride,
                         pixel_mask if cfg.preemptive else None)
@@ -706,40 +767,87 @@ def iterate_graph(image, st: Clusters, cfg: StaticConfig,
             loop_body,
             (st, assignment, pixel_mask, lsc_cent, jnp.bool_(False)), rems))
 
-    # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
-    st = Clusters(
-        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
-        num_members=st.num_members,
-        is_active=jnp.ones([K], jnp.int32),
-        is_updatable=st.is_updatable,
-    )
-
-    # full_assign (context.cpp:179-181): stride 1, rem 0
-    st = _clamp_centers(st, cfg)
-    cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
-    cand_overflow = cand_overflow | cov
-    res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
-                          assignment, 0, 1, lsc_feats, lsc_cent)
-    assignment, min_dists = res
-
-    # enforce_connectivity (context.cpp:15-20); thres precomputed host-side
-    labels, cca_tie = enforce_connectivity_xla_flagged(
-        assignment, K, jnp.asarray(scalars.thres, jnp.int32),
-        cfg.effective_max_components)
-    labels = jnp.where(labels == UNASSIGNED, -1, labels)
-
-    snaps_out = None
+    snaps = None
     if cfg.debug_mode:
         a0, d0, st0 = snap0
         sa, sd, sst = scan_snaps
-        snaps_out = (
+        snaps = (
             tuple(range(-1, max_iter)),
             jnp.concatenate([a0[None], sa]),
             jnp.concatenate([d0[None], sd]),
             jax.tree.map(lambda x0, xs: jnp.concatenate([x0[None], xs]),
                          st0, sst),
         )
-    return IterateOut(labels, st, min_dists, snaps_out, assignment, cca_tie,
+    return st, assignment, lsc_cent, cand_overflow, snaps
+
+
+def stage_full_assign(planes, st: Clusters, lsc_state, lsc_cent, assignment,
+                      cfg: StaticConfig, scalars: DerivedScalars):
+    """preemptive finalize + full_assign at stride 1 (context.cpp:176-181)."""
+    coef = jnp.asarray(scalars.coef, jnp.float32)
+    lsc_feats, lsc_w, _ = lsc_state
+    planes3_padded = (_pad_planes_for_pallas(planes, cfg)
+                      if _use_pallas_assign(cfg) else None)
+    # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
+    st = Clusters(
+        y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
+        num_members=st.num_members,
+        is_active=jnp.ones([cfg.K], jnp.int32),
+        is_updatable=st.is_updatable,
+    )
+    st = _clamp_centers(st, cfg)
+    cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
+    res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
+                          assignment, 0, 1, lsc_feats, lsc_cent)
+    assignment, min_dists = res
+    assignment = _mask_spacer(assignment, cfg)
+    return st, assignment, min_dists, cov
+
+
+def stage_cca(assignment, cfg: StaticConfig, scalars: DerivedScalars):
+    """enforce_connectivity (context.cpp:15-20, cca.cpp:178-265)."""
+    if cfg.is_canvas:
+        from .ops.cca import enforce_connectivity_canvas_flagged
+        labels, cca_tie = enforce_connectivity_canvas_flagged(
+            assignment, cfg.frame_K, cfg.canvas_frames, cfg.canvas_pitch,
+            cfg.canvas_frame_h, jnp.asarray(scalars.thres, jnp.int32),
+            cfg.effective_max_components, cfg.S)
+    else:
+        labels, cca_tie = enforce_connectivity_xla_flagged(
+            assignment, cfg.K, jnp.asarray(scalars.thres, jnp.int32),
+            cfg.effective_max_components, S=cfg.S)
+    return jnp.where(labels == UNASSIGNED, -1, labels), cca_tie
+
+
+def _check_canvas_stride(cfg: StaticConfig, stride: int):
+    if cfg.is_canvas and cfg.canvas_pitch % stride:
+        raise ValueError(
+            "canvas pitch %d must be a multiple of subsample_stride %d "
+            "(build the config with make_canvas_config(stride=...))"
+            % (cfg.canvas_pitch, stride))
+
+
+def iterate_graph(image, st: Clusters, cfg: StaticConfig,
+                  scalars: DerivedScalars, max_iter: int, stride: int):
+    """The full iterate() pipeline as one traceable function.
+
+    image: uint8 [H, W, 3].  Returns (labels int32 [H, W] with -1 for
+    unassigned, final Clusters, min_dists of the last full assign, and — when
+    cfg.debug_mode — stacked per-iteration recorder snapshots).
+
+    The body is composed from the stage_* functions above so the runner can
+    alternatively compile each phase separately and report real per-phase
+    device timings (utils/timing.py; reference src/context.cpp:112-194).
+    """
+    _check_canvas_stride(cfg, stride)
+    planes, st, lsc_state = stage_setup(image, st, cfg, scalars)
+    st, assignment, lsc_cent, cand_overflow, snaps = stage_loop(
+        planes, st, lsc_state, cfg, scalars, max_iter, stride)
+    st, assignment, min_dists, cov = stage_full_assign(
+        planes, st, lsc_state, lsc_cent, assignment, cfg, scalars)
+    cand_overflow = cand_overflow | cov
+    labels, cca_tie = stage_cca(assignment, cfg, scalars)
+    return IterateOut(labels, st, min_dists, snaps, assignment, cca_tie,
                       cand_overflow)
 
 
@@ -751,3 +859,54 @@ def compiled_iterate(cfg: StaticConfig, max_iter: int, stride: int):
         return iterate_graph(image, clusters, cfg, scalars, max_iter, stride)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_phases(cfg: StaticConfig, max_iter: int, stride: int):
+    """Phase-split compilation: one jit per pipeline phase, so the runner
+    can block between phases and report real per-phase device durations
+    under the reference's timing schema (src/context.cpp:112-194;
+    src/timer.h:66-74).  Slower than the fused program (host sync per
+    phase) — used when debug/profiling is requested."""
+    _check_canvas_stride(cfg, stride)
+
+    def f_setup(image, st, scalars):
+        return stage_setup(image, st, cfg, scalars)
+
+    def f_loop(planes, st, lsc_state, scalars):
+        return stage_loop(planes, st, lsc_state, cfg, scalars, max_iter,
+                          stride)
+
+    def f_full(planes, st, lsc_state, lsc_cent, assignment, scalars):
+        return stage_full_assign(planes, st, lsc_state, lsc_cent,
+                                 assignment, cfg, scalars)
+
+    def f_cca(assignment, scalars):
+        return stage_cca(assignment, cfg, scalars)
+
+    return (jax.jit(f_setup), jax.jit(f_loop), jax.jit(f_full),
+            jax.jit(f_cca))
+
+
+def run_iterate_phased(cfg: StaticConfig, image, st: Clusters,
+                       scalars: DerivedScalars, max_iter: int, stride: int,
+                       timer):
+    """Execute iterate() phase by phase, timing each with
+    block_until_ready.  Bit-identical outputs to iterate_graph (the phases
+    ARE its body); phase names mirror the reference's fstimer sections
+    (context.cpp:112-194)."""
+    fns = compiled_phases(cfg, max_iter, stride)
+    with timer.scope("cielab_conversion"):
+        planes, st, lsc_state = jax.block_until_ready(
+            fns[0](image, st, scalars))
+    with timer.scope("iteration_loop"):
+        st, assignment, lsc_cent, cand_overflow, snaps = (
+            jax.block_until_ready(fns[1](planes, st, lsc_state, scalars)))
+    with timer.scope("full_assign"):
+        st, assignment, min_dists, cov = jax.block_until_ready(
+            fns[2](planes, st, lsc_state, lsc_cent, assignment, scalars))
+    with timer.scope("enforce_connectivity"):
+        labels, cca_tie = jax.block_until_ready(
+            fns[3](assignment, scalars))
+    return IterateOut(labels, st, min_dists, snaps, assignment, cca_tie,
+                      cand_overflow | cov)

@@ -35,16 +35,26 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
     timer = Timer()
     recorder_json = ""
     with timer.scope("iterate"):
-        with timer.scope("compile"):
-            fn = pipeline.compiled_iterate(
-                cfg, params.max_iter, params.subsample_stride)
-        with timer.scope("execute"):
-            scalars = pipeline.derive_scalars(
-                cfg, params.compactness, params.min_size_factor,
-                params.preemptive_thres)
-            out = fn(image, jax.tree.map(jax.numpy.asarray, clusters),
-                     scalars)
-            out = jax.block_until_ready(out)
+        scalars = pipeline.derive_scalars(
+            cfg, params.compactness, params.min_size_factor,
+            params.preemptive_thres)
+        if cfg.debug_mode:
+            # phase-split execution: real per-phase device durations under
+            # the reference's timing schema (src/context.cpp:112-194), at
+            # the cost of a host sync per phase
+            with timer.scope("execute"):
+                out = pipeline.run_iterate_phased(
+                    cfg, image, jax.tree.map(jax.numpy.asarray, clusters),
+                    scalars, params.max_iter, params.subsample_stride,
+                    timer)
+        else:
+            with timer.scope("compile"):
+                fn = pipeline.compiled_iterate(
+                    cfg, params.max_iter, params.subsample_stride)
+            with timer.scope("execute"):
+                out = fn(image, jax.tree.map(jax.numpy.asarray, clusters),
+                         scalars)
+                out = jax.block_until_ready(out)
         if bool(np.asarray(out.cand_overflow)) and _escalation < 2:
             import dataclasses
             bigger = dataclasses.replace(

@@ -96,15 +96,17 @@ def test_checkerboard():
     np.testing.assert_array_equal(ours, ref)
 
 
-def test_scan_path_matches_jumping(rng, monkeypatch):
-    # large images use gather-free segmented scans instead of pointer
-    # jumping; force that path on a small image and compare
-    from fast_slic_tpu.ops import cca as cca_mod
+def test_pallas_strip_path_matches_jumping(rng):
+    # on TPU, large images take the Pallas segmented-doubling strip kernel
+    # instead of pointer jumping; run that exact kernel in interpret mode
+    # (the code path the `jax.default_backend() == "tpu"` gate selects) and
+    # compare against the jumping path
+    from fast_slic_tpu.pallas.cca_tpu import connected_components_pallas
     labels = rng.integers(0, 5, size=(40, 50)).astype(np.int32)
     L_jump = np.asarray(connected_components(jnp.asarray(labels)))
-    monkeypatch.setattr(cca_mod, "_JUMP_TABLE_LIMIT", 1)
-    L_scan = np.asarray(cca_mod.connected_components(jnp.asarray(labels)))
-    np.testing.assert_array_equal(L_scan, L_jump)
+    L_pallas = np.asarray(connected_components_pallas(
+        jnp.asarray(labels), interpret=True))
+    np.testing.assert_array_equal(L_pallas, L_jump)
 
 
 def test_maxc_overflow_flag(rng):

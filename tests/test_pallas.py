@@ -1,0 +1,167 @@
+"""Parity tests for every Pallas TPU kernel, run in interpret mode on CPU.
+
+Each kernel has an XLA/numpy counterpart it must bit-match (the
+two-implementations-one-oracle pattern of the reference, which pins separate
+goldens per arch: /root/reference/test/test_slic.py:68-72).  Interpret mode
+executes the same kernel code the TPU backend compiles, minus Mosaic — these
+tests pin the kernel *logic*; the TPU bench separately asserts no fallback.
+
+Covered: pallas/assign_tpu.py, pallas/segsum_tpu.py, pallas/lut_tpu.py,
+pallas/cca_tpu.py (also exercised by tests/test_cca.py), plus one end-to-end
+arch="pallas" run against a pinned reference golden.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast_slic_tpu import cluster as cl
+from fast_slic_tpu import pipeline
+from fast_slic_tpu.config import StaticConfig, RuntimeParams, UNASSIGNED
+from conftest import make_image
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                    "golden_ref.npz")
+
+
+def _setup_assign(rng, H, W, K, **cfgkw):
+    cfg_x = StaticConfig(H=H, W=W, K=K, arch="xla", **cfgkw)
+    cfg_p = StaticConfig(H=H, W=W, K=K, arch="pallas", **cfgkw)
+    image = make_image(rng, H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    planes = jnp.asarray(image.astype(np.int32))
+    scal = pipeline.derive_scalars(cfg_x, 10.0, 0.1, 0.05)
+    cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
+    return cfg_x, cfg_p, planes, st, cand, scal
+
+
+@pytest.mark.parametrize("stride,rem", [(1, 0), (3, 1), (3, 2)])
+def test_assign_pallas_matches_xla(rng, stride, rem):
+    H, W, K = 94, 130, 48
+    # debug_mode keeps the per-pass min_dists scatter-back (outside debug
+    # the stride path skips it — distances are recorder-only)
+    cfg_x, cfg_p, planes, st, cand, scal = _setup_assign(
+        rng, H, W, K, convert_to_lab=False, debug_mode=True)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+
+    ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old,
+                              rem, stride)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+    got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
+                                   old, rem, stride)
+    np.testing.assert_array_equal(np.asarray(got.assignment),
+                                  np.asarray(ref.assignment))
+    # distances match wherever a row was written this pass
+    wrote = (np.arange(H)[:, None] % stride) == rem
+    np.testing.assert_array_equal(
+        np.asarray(got.min_dists)[wrote.repeat(W, 1)],
+        np.asarray(ref.min_dists)[wrote.repeat(W, 1)])
+
+
+def test_assign_pallas_euclidean_patch(rng):
+    H, W, K = 66, 70, 25
+    cfg_x, cfg_p, planes, st, cand, scal = _setup_assign(
+        rng, H, W, K, convert_to_lab=False, manhattan_spatial_dist=False)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old, 0, 1)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+    got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
+                                   old, 0, 1)
+    np.testing.assert_array_equal(np.asarray(got.assignment),
+                                  np.asarray(ref.assignment))
+
+
+def test_segsum_pallas_matches_scatter(rng):
+    from fast_slic_tpu.pallas.segsum_tpu import segment_sum_pallas
+    N, V, K = 5000, 6, 300
+    # spatially coherent ids (sorted) exercise the band guard the way the
+    # pipeline produces them, plus a shuffled tail for the general case
+    ids = np.sort(rng.integers(0, K + 1, size=N)).astype(np.int32)
+    ids[-500:] = rng.integers(0, K + 1, size=500)
+    vals = rng.integers(0, 1 << 16, size=(V, N)).astype(np.int32)
+    ref = np.zeros((K + 1, V), np.int64)
+    np.add.at(ref, ids, vals.T)
+    got = segment_sum_pallas(jnp.asarray(ids), jnp.asarray(vals), K,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref.T.astype(np.int32))
+
+
+def test_slic_update_pallas_matches_scatter(rng):
+    from fast_slic_tpu.pallas.segsum_tpu import slic_update_pallas
+    W, Hs, K, stride, rem = 130, 40, 48, 3, 1
+    N = Hs * W
+    ids = np.sort(rng.integers(0, K, size=N)).astype(np.int32)
+    mask = (rng.random(N) < 0.9).astype(np.int32)
+    p = rng.integers(0, 256, size=(3, N)).astype(np.int32)
+    got = np.asarray(slic_update_pallas(
+        jnp.asarray(ids), jnp.asarray(mask), *map(jnp.asarray, p),
+        jnp.int32(rem), K, W, stride, True))
+    ii = (np.arange(N) // W) * stride + rem
+    jj = np.arange(N) % W
+    vals = np.stack([mask, ii * mask, jj * mask,
+                     p[0] * mask, p[1] * mask, p[2] * mask])
+    ref = np.zeros((6, K + 1), np.int64)
+    for c in range(6):
+        np.add.at(ref[c], ids, vals[c])
+    np.testing.assert_array_equal(got, ref.astype(np.int32))
+
+
+def test_lab_pallas_matches_xla(rng):
+    from fast_slic_tpu.pallas.lut_tpu import rgb_to_lab_pallas
+    from fast_slic_tpu.ops.cielab import rgb_to_lab_quantized
+    img = rng.integers(0, 256, size=(45, 67, 3)).astype(np.uint8)
+    # include the table extremes
+    img[0, 0] = (0, 0, 0)
+    img[0, 1] = (255, 255, 255)
+    ref = np.asarray(rgb_to_lab_quantized(jnp.asarray(img)))
+    got = np.asarray(rgb_to_lab_pallas(jnp.asarray(img), interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_propagate_min_pallas_matches_gather(rng):
+    from fast_slic_tpu.pallas.cca_tpu import propagate_min_pallas
+    H, W = 40, 60
+    labels = rng.integers(0, 6, size=(H, W)).astype(np.int32)
+    n = H * W
+    m0 = np.full((H, W), 0x7FFFFFFF, np.int32)
+    seeds = rng.integers(0, n, size=25)
+    m0.reshape(-1)[seeds] = rng.integers(0, 1000, size=25)
+    got = np.asarray(propagate_min_pallas(
+        jnp.asarray(labels), jnp.asarray(m0), interpret=True))
+    # oracle: fixpoint of neighbor-min over equal labels
+    ref = m0.astype(np.int64)
+    while True:
+        prev = ref.copy()
+        for (di, dj) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            sl = np.full_like(ref, 0x7FFFFFFF)
+            lb = np.full_like(labels, -9)
+            ss = np.s_[max(di, 0):H + min(di, 0), max(dj, 0):W + min(dj, 0)]
+            ds = np.s_[max(-di, 0):H + min(-di, 0), max(-dj, 0):W + min(-dj, 0)]
+            sl[ds] = prev[ss]
+            lb[ds] = labels[ss]
+            ref = np.minimum(ref, np.where(lb == labels, sl, 0x7FFFFFFF))
+        if (ref == prev).all():
+            break
+    np.testing.assert_array_equal(got, ref.astype(np.int32))
+
+
+def test_e2e_pallas_golden():
+    """Full pipeline with arch='pallas' (interpret-mode assign kernel on CPU)
+    reproduces the pinned reference golden bit-for-bit — the per-arch golden
+    pattern of /root/reference/test/test_slic.py:68-72."""
+    golden = np.load(DATA)
+    image = golden["image"]
+    H, W = image.shape[:2]
+    K = 256
+    cfg = StaticConfig(H=H, W=W, K=K, arch="pallas")
+    st = cl.initialize_clusters(image, K)
+    fn = pipeline.compiled_iterate(cfg, 10, 3)
+    scalars = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
+    out = fn(image, jax.tree.map(jnp.asarray, st), scalars)
+    assert not bool(np.asarray(out.cca_tie))
+    labels = np.asarray(out.labels)
+    np.testing.assert_array_equal(labels, golden["std_k256_msf01"])
