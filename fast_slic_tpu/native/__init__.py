@@ -69,6 +69,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.fstpu_knn.restype = ctypes.c_int
+        lib.fstpu_knn.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -93,3 +99,24 @@ def enforce_connectivity_native(labels: np.ndarray, K: int,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         H, W, int(K), int(thres))
     return buf
+
+
+def knn_native(ys: np.ndarray, xs: np.ndarray, H: int, W: int,
+               num_neighbors: int):
+    """Grid-bucketed KNN with the reference's heap semantics (see
+    ops/graph.py docstring).  Returns list-of-lists in heap-layout order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native module unavailable (no g++?)")
+    ys = np.ascontiguousarray(ys, np.float32)
+    xs = np.ascontiguousarray(xs, np.float32)
+    K = ys.shape[0]
+    out = np.full((K, num_neighbors), -1, np.int32)
+    counts = np.zeros(K, np.int32)
+    lib.fstpu_knn(
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        K, int(H), int(W), int(num_neighbors),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return [out[k, :counts[k]].tolist() for k in range(K)]

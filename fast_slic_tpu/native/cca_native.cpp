@@ -14,7 +14,9 @@
 // (ops/cca.py) is the default inside fused pipelines.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -112,4 +114,75 @@ int fstpu_enforce_connectivity(uint16_t* labels, int H, int W, int K,
     return (int)comps.size();
 }
 
-}  // extern "C"
+
+// K-nearest-neighbor lists over cluster centers with the reference's
+// grid-bucket walk and bounded-heap semantics (/root/reference/
+// src/fast-slic.cpp:80-130), including its early-skip quirk: a candidate is
+// rejected whenever its distance reaches the current heap MAXIMUM even if
+// the heap is not yet full, and the output order is the heap's ARRAY
+// layout (both pinned by tests/test_api.py KNN quirk tests).
+// ys/xs: [K] centers; out: [K*m] neighbor ids (-1 pad); out_counts: [K].
+int fstpu_knn(const float* ys, const float* xs, int K, int H, int W, int m,
+              int32_t* out, int32_t* out_counts) {
+    if (K <= 0 || m <= 0) return 0;
+    int S = (int)std::sqrt((double)((long long)H * W / K));
+    if (S < 1) S = 1;
+    int nh = (H + S - 1) / S, nw = (W + S - 1) / S;
+    std::vector<std::vector<int>> cells((size_t)nh * nw);
+    for (int k = 0; k < K; k++) {
+        int cy = (int)ys[k] / S, cx = (int)xs[k] / S;
+        if (cy < 0) cy = 0; if (cy >= nh) cy = nh - 1;
+        if (cx < 0) cx = 0; if (cx >= nw) cx = nw - 1;
+        cells[(size_t)cy * nw + cx].push_back(k);
+    }
+    typedef std::pair<int, int> Item;  // (distance, index), tuple order
+    std::vector<Item> heap;
+    heap.reserve(m + 1);
+    for (int k = 0; k < K; k++) {
+        heap.clear();
+        int cy = (int)ys[k] / S, cx = (int)xs[k] / S;
+        int gy0 = cy - 3 > 0 ? cy - 3 : 0;
+        int gy1 = cy + 3 < nh ? cy + 3 : nh;   // half-open [c-3, c+3)
+        int gx0 = cx - 3 > 0 ? cx - 3 : 0;
+        int gx1 = cx + 3 < nw ? cx + 3 : nw;
+        for (int gy = gy0; gy < gy1; gy++)
+            for (int gx = gx0; gx < gx1; gx++)
+                for (int n : cells[(size_t)gy * nw + gx]) {
+                    if (n == k) continue;
+                    int d = (int)(std::fabs(xs[n] - xs[k])
+                                  + std::fabs(ys[n] - ys[k]));
+                    if (!heap.empty() && heap[0].first <= d) continue;
+                    // push with sift-up (max-heap, pair ordering)
+                    heap.push_back(Item(d, n));
+                    int i = (int)heap.size() - 1;
+                    while (i > 0) {
+                        int parent = (i - 1) / 2;
+                        if (heap[parent] < heap[i]) {
+                            std::swap(heap[parent], heap[i]);
+                            i = parent;
+                        } else break;
+                    }
+                    while ((int)heap.size() > m) {
+                        // pop max with sift-down
+                        heap[0] = heap.back();
+                        heap.pop_back();
+                        int j = 0, hn = (int)heap.size();
+                        for (;;) {
+                            int l = 2 * j + 1, r = 2 * j + 2, big = j;
+                            if (l < hn && heap[big] < heap[l]) big = l;
+                            if (r < hn && heap[big] < heap[r]) big = r;
+                            if (big == j) break;
+                            std::swap(heap[j], heap[big]);
+                            j = big;
+                        }
+                    }
+                }
+        out_counts[k] = (int32_t)heap.size();
+        for (int i = 0; i < m; i++)
+            out[(size_t)k * m + i] =
+                i < (int)heap.size() ? heap[i].second : -1;
+    }
+    return 0;
+}
+
+}  // extern "C"\n

@@ -93,7 +93,23 @@ def knn(clusters: Clusters, num_neighbors: int, shape):
     clusters in ascending number within a cell) and its heap early-skip:
     a candidate is rejected whenever its distance is >= the current heap
     maximum even if the heap is not yet full (fast-slic.cpp:108).
+
+    The hot path is the native helper (compiled C, like the reference's);
+    the python loop below is the executable spec and the no-compiler
+    fallback (tests assert both agree).
     """
+    H, W = int(shape[0]), int(shape[1])
+    st = clusters.as_numpy()
+    K = st.K
+    from .. import native
+    if native.available():
+        return native.knn_native(st.y, st.x, H, W, int(num_neighbors))
+    return knn_python(clusters, num_neighbors, shape)
+
+
+def knn_python(clusters: Clusters, num_neighbors: int, shape):
+    """Pure-python reference implementation of :func:`knn` (executable
+    spec; see knn docstring)."""
     H, W = int(shape[0]), int(shape[1])
     st = clusters.as_numpy()
     K = st.K

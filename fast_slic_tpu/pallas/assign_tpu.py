@@ -159,6 +159,220 @@ def _strip_rows_cr(GH: int, S: int, stride: int, rows: int) -> int:
     return min(GH, (rows - 1) * stride // S + 2)
 
 
+_F32_MAX = float(np.finfo(np.float32).max)
+
+
+def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
+                         W_real, H_real, manhattan, variant, n_feat):
+    """Float-distance assign kernel: the real / real_l2 / real_noq variants
+    (reference ContextRealDist* scalar loops, context.cpp:406-499) and LSC
+    (lsc.cpp:197-224; SIMD analog avx2.h:193-304).
+
+    Same strip/expansion structure as the quantized kernel, but candidate
+    fields are expanded with one-nonzero-term f32 matmuls at
+    Precision.HIGHEST (exact for arbitrary f32 values), distances are f32,
+    and the winner is tracked as an (md, ms) carry — slots are visit-ordered
+    so `dist < md` reproduces the reference's first-writer tie rule.
+
+    refs layout: 7 + n_feat cell-field refs ([1, CR, C*GW] f32 each:
+    y, x, r, g, b, valid, id, then LSC centroid channels), then 3 + n_feat
+    pixel-plane refs ([rows, Wp]: quad planes int32, then LSC feature
+    channels f32), then old assignment; outputs (assignment, min_dists f32).
+    """
+    nf = 7 + n_feat
+    field_refs = refs[:nf]
+    plane_refs = refs[nf:nf + 3 + n_feat]
+    old_ref = refs[nf + 3 + n_feat]
+    out_a_ref = refs[nf + 3 + n_feat + 1]
+    out_d_ref = refs[nf + 3 + n_feat + 2]
+    (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cv_ref, cid_ref) = field_refs[:7]
+    feat_cent_refs = field_refs[7:]
+
+    gi = pl.program_id(0)
+    Wp = plane_refs[0].shape[1]
+    coef = scal_ref[0]
+    rem = scal_ref[1].astype(jnp.int32)
+    row_abs0 = gi * rows
+    base_cell = row_abs0 * stride + rem
+    base_cell = jnp.clip(base_cell // S, 0, max(GH - CR, 0))
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 1)
+    abs_r = (row_abs0 + r_iota) * stride + rem
+    rowsel = (abs_r // S - base_cell == c_iota).astype(jnp.float32)
+
+    gc_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
+    colsel = (j_iota // S == gc_iota).astype(jnp.float32)
+
+    def rowx(ref):
+        # exact f32 expansion: exactly one nonzero term per output
+        return jax.lax.dot(rowsel, ref[0],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    expanded = [rowx(r) for r in field_refs]
+
+    def lanex(e, s):
+        return jax.lax.dot(e[:, s * GW:(s + 1) * GW], colsel,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
+          * stride + rem)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
+    iif = ii.astype(jnp.float32)
+    jjf = jj.astype(jnp.float32)
+
+    p0 = plane_refs[0][:]
+    p1 = plane_refs[1][:]
+    p2 = plane_refs[2][:]
+    feats = [r[:] for r in plane_refs[3:]]
+
+    fmax = jnp.float32(_F32_MAX)
+
+    def nofma(x):
+        # block FMA contraction so float sums round like the reference C
+        # (see pipeline._nofma)
+        return jnp.minimum(x, fmax)
+
+    md = jnp.full((rows, Wp), fmax, jnp.float32)
+    ms = jnp.full((rows, Wp), -1, jnp.int32)
+    for s in range(C):
+        cy = lanex(expanded[0], s)
+        cx = lanex(expanded[1], s)
+        valid = lanex(expanded[5], s) > 0.5
+        if variant == "lsc":
+            cyi = cy.astype(jnp.int32)
+            cxi = cx.astype(jnp.int32)
+            inwin = (valid & (jnp.abs(ii - cyi) <= S)
+                     & (jnp.abs(jj - cxi) <= S))
+            dist = jnp.zeros((rows, Wp), jnp.float32)
+            for fch in range(n_feat):
+                cfv = lanex(expanded[7 + fch], s)
+                d = feats[fch] - cfv
+                dist = dist + nofma(d * d)
+        elif variant == "real_noq":
+            y_lo = jnp.maximum(jnp.trunc(cy - S).astype(jnp.int32), 0)
+            y_hi = jnp.minimum(jnp.trunc(cy + S + 1).astype(jnp.int32),
+                               H_real)
+            x_lo = jnp.maximum(jnp.trunc(cx - S).astype(jnp.int32), 0)
+            x_hi = jnp.minimum(jnp.trunc(cx + S + 1).astype(jnp.int32),
+                               W_real)
+            inwin = (valid & (ii >= y_lo) & (ii < y_hi) & (jj >= x_lo)
+                     & (jj < x_hi))
+            dr = p0.astype(jnp.float32) - lanex(expanded[2], s)
+            dg = p1.astype(jnp.float32) - lanex(expanded[3], s)
+            db = p2.astype(jnp.float32) - lanex(expanded[4], s)
+            dy = coef * (iif - cy)
+            dx = coef * (jjf - cx)
+            if manhattan:
+                dist = (jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)
+                        + jnp.abs(dx) + jnp.abs(dy))
+            else:
+                dist = (nofma(dr * dr) + nofma(dg * dg) + nofma(db * db)
+                        + nofma(dx * dx) + nofma(dy * dy))
+        else:  # real / real_l2: int-cast centers, patch spatial
+            cyi = cy.astype(jnp.int32)
+            cxi = cx.astype(jnp.int32)
+            di = ii - cyi
+            dj = jj - cxi
+            inwin = valid & (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+            if variant == "real_l2":
+                fy = coef * di.astype(jnp.float32)
+                fx = coef * dj.astype(jnp.float32)
+                sp = nofma(fy * fy) + nofma(fx * fx)
+            elif manhattan:
+                sp = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
+            else:
+                dif = di.astype(jnp.float32)
+                djf = dj.astype(jnp.float32)
+                sp = coef * jnp.sqrt(nofma(dif * dif) + nofma(djf * djf))
+            cr = lanex(expanded[2], s).astype(jnp.int32)
+            cg = lanex(expanded[3], s).astype(jnp.int32)
+            cb = lanex(expanded[4], s).astype(jnp.int32)
+            if variant == "real_l2":
+                dr = (p0 - cr).astype(jnp.float32)
+                dg = (p1 - cg).astype(jnp.float32)
+                db = (p2 - cb).astype(jnp.float32)
+                dist = sp + nofma(dr * dr) + nofma(dg * dg) + nofma(db * db)
+            else:
+                cd = (jnp.abs(p0 - cr) + jnp.abs(p1 - cg)
+                      + jnp.abs(p2 - cb)).astype(jnp.float32)
+                dist = nofma(sp) + cd
+
+        dist = jnp.where(inwin, dist, fmax)
+        better = inwin & (dist < md)
+        md = jnp.where(better, dist, md)
+        ms = jnp.where(better, s, ms)
+
+    got = ms >= 0
+    new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
+    for s in range(C):
+        cid = lanex(expanded[6], s).astype(jnp.int32)
+        new_assign = jnp.where(got & (ms == s) & (cid >= 0), cid, new_assign)
+
+    write = got & (new_assign != UNASSIGNED)
+    out_a_ref[:] = jnp.where(write, new_assign, old_ref[:])
+    out_d_ref[:] = jnp.where(write, md, jnp.full_like(md, fmax))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
+                     "variant", "interpret"))
+def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
+                        feat_fields, coef, rem, stride, *, S, GH, GW, C, H,
+                        W, manhattan, variant, interpret):
+    """Fused float-distance assign (real / real_l2 / real_noq / lsc).
+
+    planes3: int32 [3, Hp, Wp]; feat_planes: f32 [n_feat, Hp, Wp] or None
+    (LSC feature channels); cell_fields: 7 f32 [GH, C*GW]; feat_fields:
+    n_feat f32 [GH, C*GW] LSC centroid channels or None.  Returns
+    (assignment int32, min_dists f32) at [Hp, Wp].
+    """
+    _, Hp, Wp = planes3.shape
+    rows = 64
+    n_strips = Hp // rows
+    CR = _strip_rows_cr(GH, S, stride, rows)
+    n_feat = 0 if feat_planes is None else feat_planes.shape[0]
+
+    rem_i = rem.astype(jnp.int32)
+    base = (jnp.arange(n_strips, dtype=jnp.int32) * (rows * stride) + rem_i)
+    base = jnp.clip(base // S, 0, max(GH - CR, 0))
+    idx = base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
+    all_fields = tuple(cell_fields) + (tuple(feat_fields) if feat_fields
+                                       else ())
+    stack = jnp.stack(all_fields, 0)
+    strips = stack[:, idx, :]                 # [nf, n_strips, CR, C*GW]
+
+    strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
+    cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
+    scal = jnp.stack([coef.astype(jnp.float32),
+                      rem_i.astype(jnp.float32)])
+
+    nf = 7 + n_feat
+    kernel = functools.partial(
+        _assign_kernel_float, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
+        stride=stride, W_real=W, H_real=H, manhattan=manhattan,
+        variant=variant, n_feat=n_feat)
+    plane_args = [planes3[0], planes3[1], planes3[2]]
+    if n_feat:
+        plane_args += [feat_planes[i] for i in range(n_feat)]
+    out_a, out_d = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [cells] * nf +
+                 [strip] * (3 + n_feat) + [strip],
+        out_specs=(strip, strip),
+        out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)),
+        interpret=interpret,
+    )(scal, *(strips[i] for i in range(nf)), *plane_args, old_assign)
+    return out_a, out_d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
@@ -210,6 +424,19 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     )(scal, *(strips[i] for i in range(7)),
       planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d
+
+
+def prepare_feat_fields(cand, cent):
+    """cand [GH, GW, C] int32, cent [K, F] f32 -> F f32 [GH, C*GW] arrays
+    (LSC centroid feature channels, laid out like prepare_cell_fields)."""
+    GH, GW, C = cand.shape
+    safe = jnp.maximum(cand, 0)
+    cdata = cent[safe]                          # [GH, GW, C, F]
+
+    def fold(a):
+        return jnp.swapaxes(a, 1, 2).reshape(GH, C * GW).astype(jnp.float32)
+
+    return tuple(fold(cdata[..., i]) for i in range(cent.shape[-1]))
 
 
 def prepare_cell_fields(cand, table):

@@ -51,43 +51,53 @@ def _roll_masked(x, shift, axis, fill):
     return jnp.where(mask, rolled, jnp.full_like(x, fill))
 
 
-def _seg_doubling(m, lab, axis, reach=None):
+def _doubling_steps(n, reach=None):
+    if reach is not None:
+        n = min(n, reach)
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+def _span_masks(lab, axis, steps):
+    """Precompute the segmented-doubling span-uniformity masks (label-only,
+    so they are computed ONCE per kernel pass and reused by every local
+    round — the min values change per round, the labels never do).
+
+    ok[t][i] = 1 iff lab is uniform over the span (i - 2^t, i] along `axis`
+    (the +1 direction); the -1 direction's mask is ok[t] rolled by -2^t.
+    Recurrence: ok_0 = (lab == roll(lab, 1)), ok_{t+1} = ok_t & roll(ok_t,
+    2^t) — out-of-range spans are 0 by the masked roll.
+    """
+    masks = []
+    ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
+    masks.append(ok)
+    for t in range(steps - 1):
+        ok = ok * _roll_masked(ok, 1 << t, axis, 0)
+        masks.append(ok)
+    return masks
+
+
+def _seg_doubling(m, lab, axis, reach=None, masks=None):
     """Segmented min-doubling along `axis`, both directions.
 
     m: int32 running min (candidate component ids), lab: labels.
     Returns m where every element holds the min over its maximal
     equal-label run along the axis (up to `reach` elements away; the outer
-    fixpoint loop covers longer runs).
+    fixpoint loop covers longer runs).  Pass precomputed `masks`
+    (_span_masks) when iterating multiple rounds over fixed labels.
     """
-    n = m.shape[axis]
-    if reach is not None:
-        n = min(n, reach)
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    steps = _doubling_steps(m.shape[axis], reach)
+    if masks is None:
+        masks = _span_masks(lab, axis, steps)
     for direction in (1, -1):
         cur = m
-        # int32 flag (1 = span uniform): Mosaic cannot roll i1 vectors
-        ok = jnp.ones(m.shape, dtype=jnp.int32)
         for t in range(steps):
             sh = direction * (1 << t)
-            lab_sh = _roll_masked(lab, sh, axis, -2)
+            okt = masks[t] if direction == 1 else _roll_masked(
+                masks[t], -(1 << t), axis, 0)
             cur_sh = _roll_masked(cur, sh, axis, _BIG)
-            ok_sh = _roll_masked(ok, sh, axis, 0)
-            cont = ok * (lab_sh == lab).astype(jnp.int32)
-            cur = jnp.where(cont != 0, jnp.minimum(cur, cur_sh), cur)
-            ok = cont * ok_sh
+            cur = jnp.where(okt != 0, jnp.minimum(cur, cur_sh), cur)
         m = jnp.minimum(m, cur)
     return m
-
-
-def _neighbor_min_strip(m, lab):
-    """One 4-neighbor min exchange inside the strip (diagonal coupling the
-    axis-aligned doubling can miss converges faster with it)."""
-    out = m
-    for axis, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        nl = _roll_masked(lab, sh, axis, -2)
-        nm = _roll_masked(m, sh, axis, _BIG)
-        out = jnp.minimum(out, jnp.where(nl == lab, nm, jnp.full_like(m, _BIG)))
-    return out
 
 
 def _cc_pass_kernel(lab_ref, labu_ref, labd_ref, m_ref, mu_ref, md_ref,
@@ -111,12 +121,35 @@ def _cc_pass_kernel(lab_ref, labu_ref, labd_ref, m_ref, mu_ref, md_ref,
                      jnp.full_like(last, _BIG))
     m = jnp.concatenate([m[:-1, :], jnp.minimum(m[-1:, :], dn_m)], axis=0)
 
-    # in-strip propagation: one horizontal + one vertical doubling round
-    # per pass (the outer fixpoint loop handles winding components), with
-    # horizontal reach capped by the SLIC component diameter.
-    m = _seg_doubling(m, lab, axis=1, reach=reach)
-    m = _seg_doubling(m, lab, axis=0)
-    m = _neighbor_min_strip(m, lab)
+    # in-strip propagation to LOCAL FIXPOINT: winding components advance
+    # only ~one bend per doubling round, and real SLIC fragment maps need
+    # ~20 rounds (measured) — iterating rounds here, while the strip is
+    # VMEM-resident, costs VPU time only for the strips that still change,
+    # and cuts the outer (HBM-sweeping) fixpoint passes to the cross-strip
+    # coupling count.  The label-span masks are computed once per pass;
+    # each round's doubling step is then a roll + min + select.
+    h_steps = _doubling_steps(lab.shape[1], reach)
+    v_steps = _doubling_steps(lab.shape[0])
+    h_masks = _span_masks(lab, 1, h_steps)
+    v_masks = _span_masks(lab, 0, v_steps)
+
+    def one_round(mm):
+        mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks)
+        mm = _seg_doubling(mm, lab, axis=0, masks=v_masks)
+        return mm
+
+    m2 = one_round(m)
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        mm, _ = carry
+        mm2 = one_round(mm)
+        return mm2, jnp.any(mm2 != mm)
+
+    m, _ = jax.lax.while_loop(cond, body, (m2, jnp.any(m2 != m)))
     out_ref[:] = m
 
 
@@ -153,17 +186,32 @@ def propagate_min_pallas(labels, m0, strip: int = 64,
                          reach: int | None = None):
     """Propagate the component-wise minimum of m0 over 4-connected
     equal-label regions to fixpoint.  labels, m0: [H, W] int32 (use _BIG-like
-    large values in m0 for "no value here")."""
+    large values in m0 for "no value here").
+
+    Each kernel pass drives every strip to its LOCAL fixpoint, so the only
+    information that needs another pass is what must cross a strip
+    boundary.  Components that wind back and forth across one boundary
+    would still cost one pass per crossing (~20 passes measured on real
+    SLIC fragment maps), so passes alternate between the natural strip grid
+    and a strip/2-shifted grid: a boundary of one phase is interior to the
+    other, and every equivalence within strip/2 rows of any boundary
+    resolves in a single pass of the opposite phase.  Real maps converge in
+    ~2 phase pairs (+1 to confirm)."""
     H, W = labels.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if reach is None:
         reach = W
+    half = strip // 2
     Hp = -(-H // strip) * strip
     Wp = -(-W // 128) * 128
     lab_p = jnp.full((Hp, Wp), -7, jnp.int32)
     lab_p = lab_p.at[:H, :W].set(labels.astype(jnp.int32))
     m_p = jnp.full((Hp, Wp), _BIG, jnp.int32).at[:H, :W].set(m0)
+    # phase-1 labels: shifted down by strip/2 (sentinel border rows keep the
+    # shifted grid's strips label-disjoint from real content)
+    lab_s = jnp.full((Hp + strip, Wp), -7, jnp.int32)
+    lab_s = lab_s.at[half:half + Hp, :].set(lab_p)
 
     def cond(carry):
         _, changed = carry
@@ -171,7 +219,11 @@ def propagate_min_pallas(labels, m0, strip: int = 64,
 
     def body(carry):
         m, _ = carry
-        m2 = _cc_passes(lab_p, m, strip, interpret, reach)
+        m1 = _cc_passes(lab_p, m, strip, interpret, reach)
+        ms = jnp.full((Hp + strip, Wp), _BIG, jnp.int32
+                      ).at[half:half + Hp, :].set(m1)
+        ms = _cc_passes(lab_s, ms, strip, interpret, reach)
+        m2 = ms[half:half + Hp, :]
         return m2, jnp.any(m2 != m)
 
     m, _ = jax.lax.while_loop(cond, body, (m_p, jnp.bool_(True)))

@@ -168,8 +168,9 @@ class BatchedSlic:
             manhattan_spatial_dist=self.manhattan_spatial_dist,
             preemptive=self.preemptive)
         if self._capacity_boost:
-            kw["cell_capacity"] = 4 * (4 ** self._capacity_boost)
-            kw["cand_slots"] = min(9 * kw["cell_capacity"], 120)
+            # slots cap 48: see runner.py escalation (VMEM budget)
+            kw["cell_capacity"] = 4 * (2 ** self._capacity_boost)
+            kw["cand_slots"] = min(9 * kw["cell_capacity"], 48)
         if self._use_canvas():
             B_local = B if self.mesh is None else B // self.mesh.shape["data"]
             return canvas_lib.make_canvas_config(

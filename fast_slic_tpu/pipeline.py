@@ -413,13 +413,14 @@ def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
     return jnp.transpose(out)
 
 
-def _pad_planes_for_pallas(planes, cfg: StaticConfig):
-    """[H, W, 3] int32 -> [3, Hp, Wp] padded for the 64-row strip kernel."""
+def _pad_planes_for_pallas(planes, cfg: StaticConfig, dtype=jnp.int32):
+    """[H, W, ch] -> [ch, Hp, Wp] padded for the 64-row strip kernels."""
     H, W = cfg.H, cfg.W
+    ch = planes.shape[-1]
     Hp = -(-H // 64) * 64
     Wp = -(-W // 128) * 128
-    p3 = jnp.zeros((3, Hp, Wp), jnp.int32)
-    return p3.at[:, :H, :W].set(jnp.moveaxis(planes, -1, 0))
+    p = jnp.zeros((ch, Hp, Wp), dtype)
+    return p.at[:, :H, :W].set(jnp.moveaxis(planes, -1, 0).astype(dtype))
 
 
 def _use_pallas_assign(cfg: StaticConfig) -> bool:
@@ -427,38 +428,82 @@ def _use_pallas_assign(cfg: StaticConfig) -> bool:
     return (cfg.arch == ARCH_PALLAS and cfg.variant == VARIANT_STANDARD)
 
 
+def _use_pallas_assign_float(cfg: StaticConfig) -> bool:
+    from .config import ARCH_PALLAS
+    return (cfg.arch == ARCH_PALLAS and cfg.variant in (
+        VARIANT_REAL, VARIANT_REAL_L2, VARIANT_REAL_NOQ, VARIANT_LSC))
+
+
+def _use_pallas_any(cfg: StaticConfig) -> bool:
+    return _use_pallas_assign(cfg) or _use_pallas_assign_float(cfg)
+
+
+def _subsample_stack(stack, Hp_units, H, stride, rem, zero):
+    """[ch, Hp, Wp] -> [ch, Hsp, Wp] holding only rows r*stride+rem, padded
+    to a 64-row multiple (the strip kernels' subsampled-row layout)."""
+    ch, Hp, Wp = stack.shape
+    Hs = -(-H // stride)
+    Hv = Hs * stride
+    if Hv > Hp:
+        stack = jnp.concatenate(
+            [stack, jnp.full((ch, Hv - Hp, Wp), zero, stack.dtype)], 1)
+    else:
+        stack = stack[:, :Hv, :]
+    sub = jax.lax.dynamic_index_in_dim(
+        stack.reshape(ch, Hs, stride, Wp), rem, axis=2, keepdims=False)
+    Hsp = -(-Hs // 64) * 64
+    return jnp.concatenate(
+        [sub, jnp.full((ch, Hsp - Hs, Wp), zero, sub.dtype)], axis=1), Hs
+
+
 def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
                     old_assignment, rem, stride, lsc_feats=None,
-                    lsc_cent=None) -> AssignResult:
-    """Route one assign pass to the Pallas kernel (fast arch, standard
-    variant) or the XLA oracle path.  Both are bit-compatible."""
-    if _use_pallas_assign(cfg) and planes3_padded is not None:
+                    lsc_cent=None, feats_padded=None) -> AssignResult:
+    """Route one assign pass to the Pallas kernels (fast arch) or the XLA
+    oracle path.  All paths are bit-compatible per variant."""
+    if _use_pallas_any(cfg) and planes3_padded is not None:
         from .pallas.assign_tpu import (assign_pallas_standard,
-                                        prepare_cell_fields)
+                                        assign_pallas_float,
+                                        prepare_cell_fields,
+                                        prepare_feat_fields)
         H, W = cfg.H, cfg.W
         GH, GW = cell_grid_shape(cfg)
         Hp, Wp = planes3_padded.shape[1], planes3_padded.shape[2]
         table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
         fields = prepare_cell_fields(cand, table)
         interp = jax.default_backend() != "tpu"
+        quantized = _use_pallas_assign(cfg)
+        feat_fields = None
+        if cfg.variant == VARIANT_LSC:
+            feat_fields = prepare_feat_fields(cand, lsc_cent)
+        dist_fill = 0xFFFF if quantized else _F32_MAX
+        dist_dtype = jnp.int32 if quantized else jnp.float32
+
+        def run(p3, fp3, old_p, stride_i):
+            common = dict(S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
+                          manhattan=cfg.manhattan_spatial_dist,
+                          interpret=interp)
+            if quantized:
+                return assign_pallas_standard(
+                    p3, old_p, fields, jnp.asarray(coef, jnp.float32),
+                    jnp.asarray(rem, jnp.int32), stride_i, **common)
+            return assign_pallas_float(
+                p3, fp3, old_p, fields, feat_fields,
+                jnp.asarray(coef, jnp.float32),
+                jnp.asarray(rem, jnp.int32), stride_i,
+                variant=cfg.variant, **common)
 
         if isinstance(stride, int) and stride > 1:
             # compute only the subsampled rows (3x less kernel work for the
             # default stride); scatter the strip back afterwards
-            Hs = -(-H // stride)
+            p3_sub, Hs = _subsample_stack(planes3_padded, Hp, H, stride,
+                                          rem, 0)
+            fp3_sub = None
+            if feats_padded is not None:
+                fp3_sub, _ = _subsample_stack(feats_padded, Hp, H, stride,
+                                              rem, 0.0)
             Hv = Hs * stride
-            if Hv > Hp:  # small images: Hp (64-padded) can be < Hs*stride
-                p3v = jnp.concatenate(
-                    [planes3_padded,
-                     jnp.zeros((3, Hv - Hp, Wp), planes3_padded.dtype)], 1)
-            else:
-                p3v = planes3_padded[:, :Hv, :]
-            p3 = p3v.reshape(3, Hs, stride, Wp)
-            p3_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=2,
-                                                  keepdims=False)
-            Hsp = -(-Hs // 64) * 64
-            p3_sub = jnp.concatenate(
-                [p3_sub, jnp.zeros((3, Hsp - Hs, Wp), p3_sub.dtype)], axis=1)
+            Hsp = p3_sub.shape[1]
             old_v = jnp.concatenate(
                 [old_assignment,
                  jnp.full((Hv - H, W), UNASSIGNED, old_assignment.dtype)], 0)
@@ -467,30 +512,22 @@ def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
                                                    keepdims=False)
             old_sub_p = jnp.full((Hsp, Wp), UNASSIGNED, jnp.int32
                                  ).at[:Hs, :W].set(old_sub)
-            a, d = assign_pallas_standard(
-                p3_sub, old_sub_p, fields, jnp.asarray(coef, jnp.float32),
-                jnp.asarray(rem, jnp.int32), stride,
-                S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
-                manhattan=cfg.manhattan_spatial_dist, interpret=interp)
+            a, d = run(p3_sub, fp3_sub, old_sub_p, stride)
             new3 = old3.at[:, rem, :].set(a[:Hs, :W])
             assignment = new3.reshape(Hv, W)[:H]
             if cfg.debug_mode:
-                dist_full = jnp.full((Hs, stride, W), 0xFFFF, jnp.int32
+                dist_full = jnp.full((Hs, stride, W), dist_fill, dist_dtype
                                      ).at[:, rem, :].set(d[:Hs, :W])
                 min_dists = dist_full.reshape(Hv, W)[:H]
             else:
                 # stride-pass distances are recorder-only (the reference
                 # resets them every pass); skip the full-size scatter-back
-                min_dists = jnp.full((H, W), 0xFFFF, jnp.int32)
+                min_dists = jnp.full((H, W), dist_fill, dist_dtype)
             return AssignResult(assignment, min_dists)
 
         old_p = jnp.full((Hp, Wp), UNASSIGNED, jnp.int32
                          ).at[:H, :W].set(old_assignment)
-        a, d = assign_pallas_standard(
-            planes3_padded, old_p, fields, jnp.asarray(coef, jnp.float32),
-            jnp.asarray(rem, jnp.int32), int(stride),
-            S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
-            manhattan=cfg.manhattan_spatial_dist, interpret=interp)
+        a, d = run(planes3_padded, feats_padded, old_p, int(stride))
         return AssignResult(a[:H, :W], d[:H, :W])
     return assign_xla(planes, st, cand, cfg, coef, old_assignment, rem,
                       stride, lsc_feats, lsc_cent)
@@ -726,7 +763,10 @@ def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
     coef = jnp.asarray(scalars.coef, jnp.float32)
     lsc_feats, lsc_w, lsc_cent = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
-                      if _use_pallas_assign(cfg) else None)
+                      if _use_pallas_any(cfg) else None)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
+                    if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
+                    else None)
 
     pixel_mask = jnp.ones([H, W], bool)
     assignment = jnp.full([H, W], UNASSIGNED, jnp.int32)
@@ -745,7 +785,8 @@ def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
         cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
         cov_acc = cov_acc | cov
         res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
-                              assignment, rem, stride, lsc_feats, lsc_cent_c)
+                              assignment, rem, stride, lsc_feats, lsc_cent_c,
+                              feats_padded)
         assignment, min_dists = res
         assignment = _mask_spacer(assignment, cfg)
         old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
@@ -787,7 +828,10 @@ def stage_full_assign(planes, st: Clusters, lsc_state, lsc_cent, assignment,
     coef = jnp.asarray(scalars.coef, jnp.float32)
     lsc_feats, lsc_w, _ = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
-                      if _use_pallas_assign(cfg) else None)
+                      if _use_pallas_any(cfg) else None)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
+                    if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
+                    else None)
     # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
     st = Clusters(
         y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
@@ -798,7 +842,8 @@ def stage_full_assign(planes, st: Clusters, lsc_state, lsc_cent, assignment,
     st = _clamp_centers(st, cfg)
     cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
     res = assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
-                          assignment, 0, 1, lsc_feats, lsc_cent)
+                          assignment, 0, 1, lsc_feats, lsc_cent,
+                          feats_padded)
     assignment, min_dists = res
     assignment = _mask_spacer(assignment, cfg)
     return st, assignment, min_dists, cov

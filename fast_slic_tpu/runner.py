@@ -57,10 +57,13 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
                 out = jax.block_until_ready(out)
         if bool(np.asarray(out.cand_overflow)) and _escalation < 2:
             import dataclasses
+            # slots cap 48: the assign kernel's row-expanded fields are
+            # [64, cand_slots*GW] f32 x ~11 in VMEM — 120 slots would blow
+            # the 16 MB budget (measured 23 MB at 120)
             bigger = dataclasses.replace(
                 cfg,
-                cell_capacity=cfg.cell_capacity * 4,
-                cand_slots=min(9 * cfg.cell_capacity * 4, 120),
+                cell_capacity=cfg.cell_capacity * 2,
+                cand_slots=min(9 * cfg.cell_capacity * 2, 48),
             )
             return run_iterate(bigger, image, clusters, params,
                                _escalation + 1)

@@ -155,3 +155,20 @@ def test_preemptive_matches_oracle(image_factory):
                       subsample_stride=3, max_iter=10,
                       preemptive_thres=0.05))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_knn_native_matches_python_spec(rng):
+    # the compiled KNN (native/cca_native.cpp fstpu_knn) must reproduce the
+    # python executable spec bit-for-bit, including the reference's heap
+    # early-skip quirk and heap-layout output order (fast-slic.cpp:80-130)
+    from fast_slic_tpu.ops import graph
+    from fast_slic_tpu import cluster as cl, native
+    if not native.available():
+        import pytest
+        pytest.skip("no g++")
+    K, H, W = 300, 240, 320
+    st = cl.zeros(K)
+    st.y[:] = rng.uniform(0, H, K).astype(np.float32)
+    st.x[:] = rng.uniform(0, W, K).astype(np.float32)
+    for m in (1, 4, 12):
+        assert graph.knn(st, m, (H, W)) == graph.knn_python(st, m, (H, W))

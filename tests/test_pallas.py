@@ -75,6 +75,59 @@ def test_assign_pallas_euclidean_patch(rng):
                                   np.asarray(ref.assignment))
 
 
+@pytest.mark.parametrize("variant", ["real", "real_l2", "real_noq"])
+@pytest.mark.parametrize("stride,rem", [(1, 0), (3, 2)])
+def test_assign_pallas_float_matches_xla(rng, variant, stride, rem):
+    H, W, K = 94, 130, 48
+    cfg_x = StaticConfig(H=H, W=W, K=K, arch="xla", variant=variant,
+                         convert_to_lab=False, debug_mode=True)
+    cfg_p = StaticConfig(H=H, W=W, K=K, arch="pallas", variant=variant,
+                         convert_to_lab=False, debug_mode=True)
+    image = make_image(rng, H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    # non-integer centroids exercise the float window/trunc paths
+    st = st.__class__(y=st.y + 0.37, x=st.x + 0.61, r=st.r, g=st.g, b=st.b,
+                      num_members=st.num_members, is_active=st.is_active,
+                      is_updatable=st.is_updatable)
+    planes = jnp.asarray(image.astype(np.int32))
+    scal = pipeline.derive_scalars(cfg_x, 10.0, 0.1, 0.05)
+    cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old,
+                              rem, stride)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+    got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
+                                   old, rem, stride)
+    np.testing.assert_array_equal(np.asarray(got.assignment),
+                                  np.asarray(ref.assignment))
+    wrote = np.asarray(got.assignment) != UNASSIGNED
+    np.testing.assert_array_equal(np.asarray(got.min_dists)[wrote],
+                                  np.asarray(ref.min_dists)[wrote])
+
+
+def test_assign_pallas_lsc_matches_xla(rng):
+    from fast_slic_tpu.ops import lsc as lsc_ops
+    H, W, K = 94, 130, 48
+    cfg_x = StaticConfig(H=H, W=W, K=K, arch="xla", variant="lsc")
+    cfg_p = StaticConfig(H=H, W=W, K=K, arch="pallas", variant="lsc")
+    image = make_image(rng, H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    scal = pipeline.derive_scalars(cfg_x, 10.0, 0.1, 0.05)
+    planes, st, lsc_state = pipeline.stage_setup(jnp.asarray(image), st,
+                                                 cfg_x, scal)
+    lsc_feats, lsc_w, lsc_cent = lsc_state
+    cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old,
+                              0, 1, lsc_feats, lsc_cent)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+    fp3 = pipeline._pad_planes_for_pallas(lsc_feats, cfg_p, jnp.float32)
+    got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
+                                   old, 0, 1, lsc_feats, lsc_cent, fp3)
+    np.testing.assert_array_equal(np.asarray(got.assignment),
+                                  np.asarray(ref.assignment))
+
+
 def test_segsum_pallas_matches_scatter(rng):
     from fast_slic_tpu.pallas.segsum_tpu import segment_sum_pallas
     N, V, K = 5000, 6, 300
