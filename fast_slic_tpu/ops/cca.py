@@ -240,6 +240,13 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     # serially (~8 ns/element — NOTES.md fact #1), so iterate only until
     # converged instead of the full log2(maxc) schedule, with the full
     # schedule as the loop bound.
+    # linear chase first: adoption chains are 1-2 hops on real images, and
+    # a linear step costs ONE [maxc] gather where a doubling step costs two
+    # (sub[t] and t[t]); the doubling loop below mops up long chains.
+    for _ in range(2):
+        substitute = jnp.where(substitute == UNASSIGNED,
+                               substitute[target], substitute)
+
     jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
 
     def jump_cond(carry):
@@ -255,16 +262,15 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
         jump_cond, jump, (substitute, target, jnp.int32(0)))
     substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
 
-    # final relabel: propagate each leader's substitute over its component
+    # final relabel: banded table lookup over the (coherent) component ids
+    # — substitutes are < 2^16, the whole table fits VMEM, and no third
+    # propagation or scatter is needed
     if small or not on_tpu:
         out = substitute[comp_flat].reshape(H, W)
     else:
-        seed_ids = jnp.where(valid_comp, leader, n)
-        sub_seed = jnp.full([n + 1], _BIG, jnp.int32
-                            ).at[seed_ids].set(substitute)[:n].reshape(H, W)
-        m0 = jnp.where(is_leader, sub_seed, _BIG)
-        out = propagate_min_pallas(assignment, m0,
-                                   reach=_slic_reach(assignment.shape, S))
+        from ..pallas.segsum_tpu import banded_lookup_pallas
+        out = banded_lookup_pallas(comp_flat, substitute, maxc,
+                                   False).reshape(H, W)
     return out, boundary_tie | overflow
 
 
@@ -434,6 +440,13 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     target = comp_flat[nb]
     target = jnp.where(citoa == 0, 0, target)
 
+    # linear chase first: adoption chains are 1-2 hops on real images, and
+    # a linear step costs ONE [maxc] gather where a doubling step costs two
+    # (sub[t] and t[t]); the doubling loop below mops up long chains.
+    for _ in range(2):
+        substitute = jnp.where(substitute == UNASSIGNED,
+                               substitute[target], substitute)
+
     jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
 
     def jump_cond(carry):
@@ -452,12 +465,9 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     if small or not on_tpu:
         out = substitute[comp_flat].reshape(CH, W)
     else:
-        seed_ids = jnp.where(valid_comp, leader, n)
-        sub_seed = jnp.full([n + 1], _BIG, jnp.int32
-                            ).at[seed_ids].set(substitute)[:n].reshape(CH, W)
-        m0 = jnp.where(is_leader, sub_seed, _BIG)
-        out = propagate_min_pallas(cca_labels, m0,
-                                   reach=_slic_reach((CH, W), S))
+        from ..pallas.segsum_tpu import banded_lookup_pallas
+        out = banded_lookup_pallas(comp_flat, substitute, maxc,
+                                   False).reshape(CH, W)
 
     # per-frame host-re-run flags: boundary tie, unassigned in-frame pixels
     # (canvas assignment can differ from standalone there), global overflow

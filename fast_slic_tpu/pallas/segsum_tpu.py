@@ -176,6 +176,72 @@ def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
     return out[:6, :num_segments + 1]
 
 
+def _lookup_kernel(ids_ref, tab_ref, out_ref, *, tile):
+    """Banded table lookup: out = table[ids] for spatially coherent ids.
+
+    The band guard mirrors the segment-sum kernel's: a tile of coherent ids
+    touches a narrow contiguous range of 128-wide table rows, so the lookup
+    is a short fori over that band of one-nonzero-term matmuls — no gather
+    (Mosaic has none) and cost proportional to local id density."""
+    ids = ids_ref[:]                                # [8, tile]
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+    rows = []
+    for r in range(8):
+        row_ids = ids[r:r + 1, :]
+        hi = row_ids // _LO
+        oh = (row_ids % _LO == lo_iota).astype(jnp.bfloat16)  # [_LO, tile]
+        band_lo = jnp.min(hi)
+        band_hi = jnp.max(hi)
+
+        def body(h, acc):
+            trow = tab_ref[pl.ds(h, 1), :].astype(jnp.float32)  # [1, _LO]
+            th = jnp.floor(trow / 256.0)
+            tl = trow - th * 256.0
+
+            def mm(t):
+                return jax.lax.dot(t.astype(jnp.bfloat16), oh,
+                                   preferred_element_type=jnp.float32)
+
+            v = mm(th).astype(jnp.int32) * 256 + mm(tl).astype(jnp.int32)
+            return acc + jnp.where(hi == h, v, 0)
+
+        rows.append(jax.lax.fori_loop(band_lo, band_hi + 1, body,
+                                      jnp.zeros((1, tile), jnp.int32)))
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_entries", "interpret"))
+def banded_lookup_pallas(ids, table, num_entries: int, interpret: bool):
+    """out[i] = table[ids[i]] for int32 ids [N] that are spatially coherent
+    in [0, num_entries) and table values in [0, 2^16).  The whole table
+    lives in VMEM ([num_entries/128, 128] int32 — 2.5 MB at 640k entries);
+    per tile only the ids' local band of rows is touched."""
+    N = ids.shape[0]
+    tile = 4096
+    rows_per_block = 8
+    blk = rows_per_block * tile
+    n_blocks = -(-N // blk)
+    Np = n_blocks * blk
+    Kp = -(-num_entries // _LO) * _LO
+
+    ids_p = jnp.zeros((Np,), jnp.int32).at[:N].set(ids)
+    ids_p = ids_p.reshape(n_blocks * rows_per_block, tile)
+    tab_p = jnp.zeros((Kp,), jnp.int32).at[:num_entries].set(
+        table[:num_entries]).reshape(Kp // _LO, _LO)
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, tile=tile),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((rows_per_block, tile), lambda i: (i, 0)),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_block, tile), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * rows_per_block, tile),
+                                       jnp.int32),
+        interpret=interpret,
+    )(ids_p, tab_p)
+    return out.reshape(-1)[:N]
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
 def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     """ids: int32 [N] in [0, num_segments]; vals: int32 [V, N] with

@@ -75,7 +75,7 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
             return local_step(images, st, scalars)
         return jax.jit(step)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     D = mesh.shape["data"]
@@ -92,7 +92,7 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
         sharded, mesh=mesh,
         in_specs=(P("data"), specs_st, P()),
         out_specs=(P("data"), specs_st, P("data"), P(), P("data")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

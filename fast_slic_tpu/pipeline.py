@@ -95,7 +95,7 @@ def visit_order_key(y, x, cfg: StaticConfig):
     return phase * K + jnp.arange(K, dtype=jnp.int32)
 
 
-def build_candidates(y, x, is_active, cfg: StaticConfig):
+def build_candidates(y, x, is_active, cfg: StaticConfig, key=None):
     """Bucket clusters into S-cells and build per-cell candidate lists.
 
     Returns int32 [GH, GW, 9*P] of cluster ids (-1 = empty slot): the 3x3
@@ -125,7 +125,10 @@ def build_candidates(y, x, is_active, cfg: StaticConfig):
     seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
     rank = idx - seg_start
     target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
-    key = visit_order_key(y, x, cfg)
+    if key is None:
+        key = visit_order_key(y, x, cfg)
+    # (spatial shards pass a key computed from GLOBAL coordinates so the
+    # reference's phase pattern survives the row shift)
     okey = key[order]  # [K]-sized gather: cheap
 
     def bucketize(values, fill):
@@ -140,24 +143,23 @@ def build_candidates(y, x, is_active, cfg: StaticConfig):
         ]
         return jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
 
-    cand = bucketize(order, -1)
+    # The visit key is phase*K + cluster_number, so the cluster id is
+    # recoverable as key % K — sort ONE operand instead of carrying ids as
+    # a payload (the sort over the 9P slots runs every iteration and is the
+    # dominant cost of candidate building on big canvases).
     ckey = bucketize(okey, jnp.int32(2 ** 30))
-    ckey = jnp.where(cand >= 0, ckey, jnp.int32(2 ** 30))
-
-    # sort each cell's candidate list by visit order (invalid slots last);
-    # lax.sort carries the ids as payload — argsort+take_along_axis would
-    # lower to serial pixel-count gathers
-    _, cand = jax.lax.sort((ckey, cand), dimension=-1, num_keys=1)
+    ckey = jax.lax.sort(ckey, dimension=-1)
 
     # Compaction: valid candidates are now in the leading slots; truncate to
     # cand_slots.  Overflow (a dropped real candidate, either here or in the
     # P-per-cell bucketing) is flagged so the caller can re-run with a
     # larger capacity.
     overflow = jnp.any((rank >= P) & (sc < num_cells))
-    C = min(cand.shape[-1], cfg.cand_slots)
-    if C < cand.shape[-1]:
-        overflow = overflow | jnp.any(cand[:, :, C] >= 0)
-        cand = cand[:, :, :C]
+    C = min(ckey.shape[-1], cfg.cand_slots)
+    if C < ckey.shape[-1]:
+        overflow = overflow | (ckey[:, :, C] < 2 ** 30).any()
+        ckey = ckey[:, :, :C]
+    cand = jnp.where(ckey < 2 ** 30, ckey % K, -1)
     return cand, overflow
 
 
@@ -537,8 +539,18 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
                rem, stride, pixel_mask=None) -> Clusters:
     """update(): masked segment-sum of [1, i, j, r, g, b] per cluster, then
     (round_int-)means for updatable clusters (context.cpp:302-387)."""
+    acc = update_accumulate(planes, assignment, cfg, rem, stride, pixel_mask)
+    return update_apply_means(acc, st, cfg)
+
+
+def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
+                      pixel_mask=None):
+    """The reduction half of update(): int32 [K, 6] per-cluster sums of
+    (count, i, j, r, g, b) over this array's pixels.  Spatial shards sum
+    their locals and psum (parallel/spatial_shardmap.py) — the TPU analog
+    of the reference's thread-local accumulators + critical merge
+    (context.cpp:309-354)."""
     H, W, K = cfg.H, cfg.W, cfg.K
-    quantized = cfg.variant != VARIANT_REAL_NOQ
     on_tpu = jax.default_backend() == "tpu"
 
     if isinstance(stride, int) and stride > 1:
@@ -595,6 +607,13 @@ def update_xla(planes, assignment, st: Clusters, cfg: StaticConfig,
              p_eff[..., 0], p_eff[..., 1], p_eff[..., 2]], axis=-1,
         ).reshape(-1, 6)
         acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
+    return acc
+
+
+def update_apply_means(acc, st: Clusters, cfg: StaticConfig) -> Clusters:
+    """The means half of update(): centroid (round_int-)means for updatable
+    clusters from the [K, 6] accumulators (context.cpp:356-387)."""
+    quantized = cfg.variant != VARIANT_REAL_NOQ
     counts = acc[:, 0]
     sums = acc[:, 1:]
 

@@ -218,3 +218,26 @@ def test_e2e_pallas_golden():
     assert not bool(np.asarray(out.cca_tie))
     labels = np.asarray(out.labels)
     np.testing.assert_array_equal(labels, golden["std_k256_msf01"])
+
+
+def test_banded_lookup_pallas_matches_gather(rng):
+    from fast_slic_tpu.pallas.segsum_tpu import banded_lookup_pallas
+    N, E = 7000, 900
+    # spatially coherent ids (the CCA relabel produces component ids that
+    # increase with pixel position), values < 2^16
+    ids = np.sort(rng.integers(0, E, size=N)).astype(np.int32)
+    table = rng.integers(0, 1 << 16, size=E).astype(np.int32)
+    got = np.asarray(banded_lookup_pallas(
+        jnp.asarray(ids), jnp.asarray(table), E, True))
+    np.testing.assert_array_equal(got, table[ids])
+
+
+def test_banded_lookup_pallas_scattered_ids(rng):
+    # incoherent ids still give correct answers (just a wider band)
+    from fast_slic_tpu.pallas.segsum_tpu import banded_lookup_pallas
+    N, E = 4096, 257
+    ids = rng.integers(0, E, size=N).astype(np.int32)
+    table = rng.integers(0, 1 << 16, size=E).astype(np.int32)
+    got = np.asarray(banded_lookup_pallas(
+        jnp.asarray(ids), jnp.asarray(table), E, True))
+    np.testing.assert_array_equal(got, table[ids])
