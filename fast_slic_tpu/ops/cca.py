@@ -176,20 +176,24 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
                                      reach=_slic_reach(assignment.shape, S))
     comp_flat = comp2.reshape(-1)
 
-    # areas + leader index per component in ONE segment-sum (leader pixel id
-    # split into three sub-16-bit parts so the byte-split bf16 matmul stays
-    # exact for images/canvases up to 2^31 pixels)
-    pid_hi = iota2 >> 16
-    pid_mid = (iota2 >> 8) & 0xFF
-    pid_lo = iota2 & 0xFF
+    # areas + orphan-adoption target per component in ONE segment-sum.  The
+    # target (component of the leader's left/up neighbor, cca.cpp:240-254)
+    # is aggregated pixel-side: every pixel knows its left (or, at column 0,
+    # up) neighbor's component id via two shifts, and the leader pixel
+    # contributes that id to its own component's bin — this avoids the
+    # [maxc]-sized gather from the pixel map, which executes serially
+    # (~8 ns/element).  Values are split into sub-16-bit parts so the
+    # byte-split bf16 matmuls stay exact.
+    donor_comp = jnp.where(jj > 0, _shifted(comp2, 0, -1, 0),
+                           _shifted(comp2, -1, 0, 0))
     vals = jnp.stack(
-        [jnp.ones_like(il), jnp.where(is_leader, pid_hi, 0),
-         jnp.where(is_leader, pid_mid, 0),
-         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 4)
+        [jnp.ones_like(il),
+         jnp.where(is_leader, donor_comp >> 14, 0),
+         jnp.where(is_leader, donor_comp & 16383, 0)], axis=-1).reshape(-1, 3)
     acc = segment_sum_matmul(comp_flat, vals, maxc,
-                             max_val=max(n >> 16, 255))[:maxc]
+                             max_val=max(n >> 16, 16383))[:maxc]
     areas = acc[:, 0]
-    leader_of_comp = acc[:, 1] * 65536 + acc[:, 2] * 256 + acc[:, 3]
+    target = acc[:, 1] * 16384 + acc[:, 2]
 
     citoa = jnp.arange(maxc, dtype=jnp.int32)
     valid_comp = citoa < num_components
@@ -225,42 +229,19 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     ).astype(jnp.int32)
     # component 0 always gets a label (cca.cpp:238)
     substitute = substitute.at[0].set(jnp.where(kept[0], substitute[0], 0))
+    # pad entries beyond num_components can never resolve through the
+    # orphan DAG; park them at 0 so the jump loop's early exit can fire
+    # (otherwise `any(sub == UNASSIGNED)` stays true for the whole log2
+    # schedule — ~19 iterations of two [maxc] gathers each)
+    substitute = jnp.where(valid_comp, substitute, 0)
 
-    # orphan adoption targets: component of the leader's left/up neighbor
-    leader = jnp.clip(leader_of_comp, 0, n - 1)
-    has_left = (leader % W) > 0
-    nb = jnp.where(has_left, leader - 1, jnp.maximum(leader - W, 0))
-    target = comp_flat[nb]                 # [maxc] indices: small gather
+    # orphan adoption: chains resolve through the target DAG (targets
+    # strictly decrease in leader raster index; component 0 is always
+    # labeled, so every chain terminates).  Real images resolve in 1-3
+    # linear hops.
     target = jnp.where(citoa == 0, 0, target)
-
-    # Orphan chains resolve by pointer jumping.  Adoption targets strictly
-    # decrease in leader raster index (the left/up neighbor precedes the
-    # leader) and component 0 is always labeled, so every chain terminates;
-    # real images resolve in 2-3 doubling steps.  A [maxc] gather executes
-    # serially (~8 ns/element — NOTES.md fact #1), so iterate only until
-    # converged instead of the full log2(maxc) schedule, with the full
-    # schedule as the loop bound.
-    # linear chase first: adoption chains are 1-2 hops on real images, and
-    # a linear step costs ONE [maxc] gather where a doubling step costs two
-    # (sub[t] and t[t]); the doubling loop below mops up long chains.
-    for _ in range(2):
-        substitute = jnp.where(substitute == UNASSIGNED,
-                               substitute[target], substitute)
-
-    jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
-
-    def jump_cond(carry):
-        sub, _, step = carry
-        return (step < jump_steps) & jnp.any(sub == UNASSIGNED)
-
-    def jump(carry):
-        sub, t, step = carry
-        sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
-        return sub, t[t], step + 1
-
-    substitute, _, _ = jax.lax.while_loop(
-        jump_cond, jump, (substitute, target, jnp.int32(0)))
-    substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
+    substitute, unresolved = _resolve_orphans(substitute, target, maxc,
+                                              small or not on_tpu)
 
     # final relabel: banded table lookup over the (coherent) component ids
     # — substitutes are < 2^16, the whole table fits VMEM, and no third
@@ -271,7 +252,56 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
         from ..pallas.segsum_tpu import banded_lookup_pallas
         out = banded_lookup_pallas(comp_flat, substitute, maxc,
                                    False).reshape(H, W)
-    return out, boundary_tie | overflow
+    return out, boundary_tie | overflow | unresolved
+
+
+_CHASE_LIMIT = 32
+
+
+def _resolve_orphans(substitute, target, maxc: int, use_gathers: bool):
+    """Resolve the orphan-adoption DAG: each UNASSIGNED entry takes the
+    substitute of its target, iterated to fixpoint (cca.cpp:240-254).
+
+    On TPU each [maxc] gather executes serially (~8 ns/element), so the
+    chase steps run through the banded-lookup matmul kernel instead
+    (targets are rank-local: the left/up neighbor of a leader has a nearby
+    leader).  Chains are followed linearly — real images need 1-3 hops —
+    bounded by _CHASE_LIMIT; a deeper chain (pathological orphan nesting)
+    is flagged for the bit-exact host re-run instead of silently mislabeled.
+    On CPU (and for small images) plain gathers with pointer doubling cover
+    any chain length exactly.
+    """
+    if use_gathers:
+        jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
+
+        def jump_cond(carry):
+            sub, _, step = carry
+            return (step < jump_steps) & jnp.any(sub == UNASSIGNED)
+
+        def jump(carry):
+            sub, t, step = carry
+            sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
+            return sub, t[t], step + 1
+
+        substitute, _, _ = jax.lax.while_loop(
+            jump_cond, jump, (substitute, target, jnp.int32(0)))
+        unresolved = jnp.bool_(False)  # doubling covers maxc-length chains
+    else:
+        from ..pallas.segsum_tpu import banded_lookup_pallas
+
+        def chase_cond(carry):
+            sub, step = carry
+            return (step < _CHASE_LIMIT) & jnp.any(sub == UNASSIGNED)
+
+        def chase(carry):
+            sub, step = carry
+            lk = banded_lookup_pallas(target, sub, maxc, False)
+            return jnp.where(sub == UNASSIGNED, lk, sub), step + 1
+
+        substitute, _ = jax.lax.while_loop(
+            chase_cond, chase, (substitute, jnp.int32(0)))
+        unresolved = jnp.any(substitute == UNASSIGNED)
+    return jnp.where(substitute == UNASSIGNED, 0, substitute), unresolved
 
 
 def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
@@ -354,21 +384,28 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
                                      reach=_slic_reach((CH, W), S))
     comp_flat = comp2.reshape(-1)
 
-    pid_hi = iota2 >> 16
-    pid_mid = (iota2 >> 8) & 0xFF
-    pid_lo = iota2 & 0xFF
+    # One segment-sum aggregates, per component: area, leader ROW (for the
+    # frame-id/spacer classification — split into two sub-16-bit parts),
+    # and the orphan-adoption target, aggregated pixel-side like the
+    # single-image path (each leader pixel contributes its left/up
+    # neighbor's component id — two shifts, no [maxc]-sized gather from the
+    # pixel map).
+    donor_comp = jnp.where(jj > 0, _shifted(comp2, 0, -1, 0),
+                           _shifted(comp2, -1, 0, 0))
     vals = jnp.stack(
-        [jnp.ones_like(il), jnp.where(is_leader, pid_hi, 0),
-         jnp.where(is_leader, pid_mid, 0),
-         jnp.where(is_leader, pid_lo, 0)], axis=-1).reshape(-1, 4)
+        [jnp.ones_like(il),
+         jnp.where(is_leader, ii >> 8, 0),
+         jnp.where(is_leader, ii & 0xFF, 0),
+         jnp.where(is_leader, donor_comp >> 14, 0),
+         jnp.where(is_leader, donor_comp & 16383, 0)], axis=-1).reshape(-1, 5)
     acc = segment_sum_matmul(comp_flat, vals, maxc,
-                             max_val=max(n >> 16, 255))[:maxc]
+                             max_val=max(n >> 16, 16383, CH >> 8))[:maxc]
     areas = acc[:, 0]
-    leader_of_comp = acc[:, 1] * 65536 + acc[:, 2] * 256 + acc[:, 3]
+    lrow = acc[:, 1] * 256 + acc[:, 2]
+    target = acc[:, 3] * 16384 + acc[:, 4]
 
     citoa = jnp.arange(maxc, dtype=jnp.int32)
     valid_comp = citoa < num_components
-    lrow = leader_of_comp // W
     cf = jnp.clip(lrow // pitch, 0, B - 1)         # frame id [maxc]
     is_spacer = (lrow % pitch) >= frame_h
     real = valid_comp & ~is_spacer
@@ -430,37 +467,16 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     is_first_real = real & (real_rank == 1)
     substitute = jnp.where(is_first_real & (substitute == UNASSIGNED), 0,
                            substitute)
-    # spacer components: cropped away by the caller; resolve to 0 so they
-    # cost no pointer-jump iterations
+    # spacer components are cropped away by the caller, and pad entries
+    # beyond num_components can never resolve through the orphan DAG:
+    # park both at 0 so they cost no pointer-jump iterations and the jump
+    # loop's early exit can fire
     substitute = jnp.where(valid_comp & is_spacer, 0, substitute)
+    substitute = jnp.where(valid_comp, substitute, 0)
 
-    leader = jnp.clip(leader_of_comp, 0, n - 1)
-    has_left = (leader % W) > 0
-    nb = jnp.where(has_left, leader - 1, jnp.maximum(leader - W, 0))
-    target = comp_flat[nb]
     target = jnp.where(citoa == 0, 0, target)
-
-    # linear chase first: adoption chains are 1-2 hops on real images, and
-    # a linear step costs ONE [maxc] gather where a doubling step costs two
-    # (sub[t] and t[t]); the doubling loop below mops up long chains.
-    for _ in range(2):
-        substitute = jnp.where(substitute == UNASSIGNED,
-                               substitute[target], substitute)
-
-    jump_steps = max(1, math.ceil(math.log2(max(maxc, 2))))
-
-    def jump_cond(carry):
-        sub, _, step = carry
-        return (step < jump_steps) & jnp.any(sub == UNASSIGNED)
-
-    def jump(carry):
-        sub, t, step = carry
-        sub = jnp.where(sub == UNASSIGNED, sub[t], sub)
-        return sub, t[t], step + 1
-
-    substitute, _, _ = jax.lax.while_loop(
-        jump_cond, jump, (substitute, target, jnp.int32(0)))
-    substitute = jnp.where(substitute == UNASSIGNED, 0, substitute)
+    substitute, unresolved = _resolve_orphans(substitute, target, maxc,
+                                              small or not on_tpu)
 
     if small or not on_tpu:
         out = substitute[comp_flat].reshape(CH, W)
@@ -473,7 +489,7 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     # (canvas assignment can differ from standalone there), global overflow
     a3 = assignment.reshape(B, pitch, W)
     unassigned_f = jnp.any(a3[:, :frame_h, :] == UNASSIGNED, axis=(1, 2))
-    return out, boundary_tie | unassigned_f | overflow
+    return out, boundary_tie | unassigned_f | overflow | unresolved
 
 
 def _slic_reach(shape, S=None):
