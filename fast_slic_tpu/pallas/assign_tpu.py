@@ -376,10 +376,10 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
-                     "interpret"))
+                     "interpret", "rows"))
 def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                            stride, *, S, GH, GW, C, H, W, manhattan,
-                           interpret):
+                           interpret, rows=64):
     """Run the fused assign pass.
 
     planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
@@ -390,7 +390,6 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     Returns (assignment int32 [Hp, Wp], min_dists int32 [Hp, Wp]).
     """
     _, Hp, Wp = planes3.shape
-    rows = 64
     n_strips = Hp // rows
     CR = _strip_rows_cr(GH, S, stride, rows)
 

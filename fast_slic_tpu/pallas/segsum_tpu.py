@@ -135,9 +135,9 @@ def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "W", "stride",
-                                             "interpret"))
+                                             "interpret", "tile"))
 def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
-                       W: int, stride: int, interpret: bool):
+                       W: int, stride: int, interpret: bool, tile: int = 4096):
     """Fused SLIC update accumulation: ids int32 [N] in [0, num_segments]
     (use the nearest valid id for masked pixels), mask int32 [N] (0 zeroes
     a pixel's contribution), p0..p2 int32 [N] quad planes of the SLICED
@@ -145,7 +145,6 @@ def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
     Returns int32 [6, num_segments + 1]: count, sum_i, sum_j, sums r/g/b.
     """
     N = ids.shape[0]
-    tile = 4096
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
     Kp = -(-(num_segments + 1) // _LO) * _LO
