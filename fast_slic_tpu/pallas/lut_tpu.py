@@ -40,21 +40,26 @@ def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
     tile = rgb_ref.shape[1]
 
     def lookup(x, table_ref, n_hi):
-        # x: [1, tile] int32 indices into a [n_hi * _LO] table
-        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
-        ohh = (x // _LO == hi_iota).astype(jnp.bfloat16)   # [n_hi, tile]
+        # x: [1, tile] int32 indices into a [n_hi * _LO] table.  Contract
+        # over the LANE level first (T [n_hi, _LO] @ onehot_lo [_LO, tile]
+        # -> [n_hi, tile]), then select over the n_hi rows — n_hi (65 for
+        # the lab table, 2 for sRGB) is smaller than _LO=128, so the
+        # per-element intermediates, recombines and the select-sum are
+        # ~2x smaller than the hi-first formulation.
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+        ohl = (x % _LO == lo_iota).astype(jnp.bfloat16)    # [_LO, tile]
         t = table_ref[:].astype(jnp.float32)               # [n_hi, _LO]
         th = jnp.floor(t / 256.0)
         tl = t - th * 256.0
 
         def mm(tt):
-            return jax.lax.dot_general(
-                tt.astype(jnp.bfloat16), ohh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [_LO, tile]
+            return jax.lax.dot(
+                tt.astype(jnp.bfloat16), ohl,
+                preferred_element_type=jnp.float32)        # [n_hi, tile]
 
         M = mm(th).astype(jnp.int32) * 256 + mm(tl).astype(jnp.int32)
-        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
-        sel = jnp.where(lo_iota == (x % _LO), M, jnp.zeros_like(M))
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
+        sel = jnp.where(hi_iota == (x // _LO), M, jnp.zeros_like(M))
         return jnp.sum(sel, axis=0, keepdims=True)         # [1, tile]
 
     sr = lookup(rgb_ref[0:1, :], srgb2d_ref, 2)
@@ -101,7 +106,7 @@ def rgb_to_lab_pallas(image, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     H, W, _ = image.shape
     n = H * W
-    tile = 4096
+    tile = 8192
     n_tiles = -(-n // tile)
     Np = n_tiles * tile
 

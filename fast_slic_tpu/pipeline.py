@@ -752,16 +752,20 @@ def stage_setup(image, st: Clusters, cfg: StaticConfig,
     else:
         planes = image.astype(jnp.int32)
 
-    # re-seed cluster colors from the quad image (context.cpp:128-135)
+    # re-seed cluster colors from the quad image (context.cpp:128-135).
+    # Flat 1-D indexing: the 2-D advanced-index form (planes[cy, cx, c])
+    # lowers to a serial ~0.65 us/element gather on TPU (~25 ms at canvas
+    # scale); the flat row gather runs at the ~8 ns/element serial rate.
     cyi = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
     cxi = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
+    seed_cols = planes.reshape(-1, 3)[cyi * W + cxi]
     # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
     # `preemptive` flag — is_updatable is reset to the cooldown for everyone.
     st = Clusters(
         y=st.y, x=st.x,
-        r=planes[cyi, cxi, 0].astype(jnp.float32),
-        g=planes[cyi, cxi, 1].astype(jnp.float32),
-        b=planes[cyi, cxi, 2].astype(jnp.float32),
+        r=seed_cols[:, 0].astype(jnp.float32),
+        g=seed_cols[:, 1].astype(jnp.float32),
+        b=seed_cols[:, 2].astype(jnp.float32),
         num_members=st.num_members,
         is_active=st.is_active,
         is_updatable=jnp.full([K], _PREEMPTIVE_COOLDOWN, jnp.int32),
