@@ -52,11 +52,12 @@ def make_image(H, W, seed=0):
     key = (H, W)
     if _BENCH_CANVAS.get("key") != key:
         _BENCH_CANVAS = {"key": key, "img": np.asarray(
-            Image.fromarray(z["image"]).resize((W + 256, H + 256),
+            Image.fromarray(z["image"]).resize((W + 512, H + 512),
                                                Image.BILINEAR))}
-    off = 16 * seed
+    off = (16 * seed) % 512
+    off2 = (80 * seed + 128) % 512
     return np.ascontiguousarray(
-        _BENCH_CANVAS["img"][off:off + H, off:off + W])
+        _BENCH_CANVAS["img"][off:off + H, off2:off2 + W])
 
 
 _BENCH_CANVAS = {}

@@ -1,21 +1,29 @@
-"""Batched (video) SLIC over a device mesh — canvas-based.
+"""Batched (video) SLIC over a device mesh.
 
-``BatchedSlic`` runs the full iterate pipeline over a batch of frames by
-stacking them into one tall canvas (see parallel/canvas.py), so every Pallas
-kernel and XLA op amortizes across the batch at full-grid occupancy — the
-round-1 ``vmap``-over-frames formulation collapsed kernel throughput ~30x.
+``BatchedSlic`` runs the full iterate pipeline over a batch of frames with
+ONE host dispatch per batch.  Two device-side batch modes:
+
+* ``"map"`` (default): frames run sequentially on-device through the exact
+  single-frame program via ``lax.map`` — zero dispatch between frames,
+  every Pallas kernel at its full single-frame grid, bit-identical to the
+  single-frame ``Slic`` path for every variant.  (A ``vmap`` over frames
+  collapses Pallas throughput ~30x; sequential mapping does not.)
+* ``"canvas"``: frames stack into one tall canvas with spacer rows
+  (parallel/canvas.py), processed as a single image.  Kept for workloads
+  where many tiny frames make per-frame kernel grids degenerate; at 720p
+  it costs MORE per pixel than map mode (K and max_components couple
+  across frames, scaling the candidate build and CCA bookkeeping), and it
+  is only available for the quantized-centroid variants
+  (standard/real/real_l2 — float centroid means are not shift-invariant).
+
 On a multi-device mesh the batch is split over the ``data`` axis with
-``shard_map``: each device builds and processes its own canvas; frames are
-independent, so no collectives are needed in the step (the TPU-native analog
-of running one fast-slic process per core).
+``shard_map``; frames are independent, so the step needs no collectives
+(the TPU-native analog of running one fast-slic process per core).
 
 Exactness contract (matching the single-frame ``Slic``/runner path,
 runner.py:48-82): candidate-capacity overflow re-runs the batch with larger
 capacity; per-frame CCA boundary-tie / unassigned flags re-run that frame's
-connectivity enforcement on the host for bit-parity.  Canvas batching is
-bit-exact for the quantized-centroid variants (standard/real/real_l2);
-``real_noq``/``lsc`` float centroid means are not shift-invariant, so those
-variants fall back to a vmapped per-frame pipeline (correct, slower).
+connectivity enforcement on the host for bit-parity.
 """
 
 from __future__ import annotations
@@ -38,6 +46,12 @@ from .mesh import make_mesh
 
 def _default_arch():
     return ARCH_PALLAS if jax.default_backend() == "tpu" else ARCH_XLA
+
+
+@jax.jit
+def _combined_flags(ovf, flags):
+    return jnp.concatenate([ovf.reshape(1).astype(jnp.bool_),
+                            flags.reshape(-1).astype(jnp.bool_)])
 
 
 @functools.lru_cache(maxsize=32)
@@ -97,27 +111,45 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_vmap_step(cfg: StaticConfig, max_iter: int, stride: int,
-                        mesh):
-    """Per-frame vmapped fallback (real_noq / lsc variants: float centroid
-    means are not canvas-shift-invariant).  Slower on a single chip; still
-    sharded over the mesh's data axis when one is given."""
+def _compiled_map_step(cfg: StaticConfig, max_iter: int, stride: int,
+                       mesh):
+    """Per-frame lax.map step: frames run SEQUENTIALLY on-device through
+    the exact single-frame pipeline — zero host dispatch between frames,
+    every Pallas kernel at its full single-frame grid (a vmap collapses
+    Pallas throughput ~30x; a canvas couples the frames' K and
+    max_components and costs more per pixel than the single-frame program).
+    Works for every variant (no canvas shift-variance), and each frame's
+    output is bit-identical to the single-frame Slic path by construction.
+    Sharded over the mesh's data axis when one is given (frames are
+    independent; no collectives)."""
     def step(images, clusters, scalars):
-        def one(image, st):
+        def one(args):
+            image, st = args
             out = iterate_graph(image, st, cfg, scalars, max_iter, stride)
             return (out.labels, out.clusters, out.cca_tie,
                     out.cand_overflow, out.raw_assignment)
 
-        labels, st, tie, ovf, raw = jax.vmap(one)(images, clusters)
+        labels, st, tie, ovf, raw = jax.lax.map(one, (images, clusters))
         return labels, st, tie, jnp.any(ovf), raw
 
     if mesh is None:
         return jax.jit(step)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    dsh = NamedSharding(mesh, P("data"))
-    cl_sh = jax.tree.map(lambda _: dsh, Clusters(*([0] * 8)))
-    return jax.jit(step, in_shardings=(dsh, cl_sh, None),
-                   out_shardings=(dsh, cl_sh, dsh, None, dsh))
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(images, st, scalars):
+        labels, st_out, tie, ovf, raw = step(images, st, scalars)
+        return labels, st_out, tie, jnp.any(
+            jax.lax.all_gather(ovf, "data")), raw
+
+    specs_st = Clusters(*([P("data")] * 8))
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P("data"), specs_st, P()),
+        out_specs=(P("data"), specs_st, P("data"), P(), P("data")),
+        check_vma=False)
+    return jax.jit(fn)
 
 
 class BatchedSlic:
@@ -140,7 +172,11 @@ class BatchedSlic:
                  min_size_factor=0.25, subsample_stride=3,
                  convert_to_lab=True, manhattan_spatial_dist=True,
                  variant="standard", preemptive=False, preemptive_thres=0.05,
-                 arch=None, mesh=None, check_exactness=True):
+                 arch=None, mesh=None, check_exactness=True,
+                 batch_mode="map"):
+        if batch_mode not in ("map", "canvas"):
+            raise ValueError("batch_mode must be 'map' or 'canvas'")
+        self.batch_mode = batch_mode
         self.num_components = num_components
         self.compactness = compactness
         self.min_size_factor = min_size_factor
@@ -158,7 +194,8 @@ class BatchedSlic:
 
     # -- configuration -------------------------------------------------
     def _use_canvas(self):
-        return self.variant not in (VARIANT_REAL_NOQ, VARIANT_LSC)
+        return (self.batch_mode == "canvas"
+                and self.variant not in (VARIANT_REAL_NOQ, VARIANT_LSC))
 
     def _cfg(self, B, H, W):
         arch = self.arch if self.arch is not None else _default_arch()
@@ -213,19 +250,23 @@ class BatchedSlic:
                                        int(self.subsample_stride),
                                        self.mesh, B_local)
         else:
-            fn = _compiled_vmap_step(cfg, int(max_iter),
-                                     int(self.subsample_stride), self.mesh)
+            fn = _compiled_map_step(cfg, int(max_iter),
+                                    int(self.subsample_stride), self.mesh)
 
         labels, st, flags, ovf, raw = fn(images, self._state, scalars)
         self.last_flags = flags  # per-frame exactness flags (device [B] bool)
 
         if self.check_exactness:
-            if bool(np.asarray(ovf)) and self._capacity_boost < 2:
+            # ONE device->host transfer for all flags: each blocked fetch
+            # costs a full dispatch round-trip (28 ms through the dev
+            # tunnel), so ovf and the per-frame flags ride together
+            both = np.asarray(_combined_flags(ovf, flags))
+            if bool(both[0]) and self._capacity_boost < 2:
                 # candidate capacity exceeded: recompile at 4x capacity and
                 # re-run this batch (runner.py escalation semantics)
                 self._capacity_boost += 1
                 return self.iterate(images, max_iter)
-            flags_np = np.asarray(flags)
+            flags_np = both[1:]
             if flags_np.any():
                 labels = self._host_cca_rerun(labels, raw, flags_np, cfg,
                                               scalars)

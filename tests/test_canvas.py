@@ -31,7 +31,8 @@ def _per_frame(cls, imgs, K, max_iter, **kw):
 def test_canvas_matches_per_frame(rng):
     B, H, W, K = 3, 60, 76, 32
     imgs = _frames(rng, B, H, W)
-    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla")
+    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
+                     batch_mode="canvas")
     got = np.asarray(bs.iterate(imgs, max_iter=4))
     ref = _per_frame(Slic, imgs, K, 4)
     np.testing.assert_array_equal(got, ref)
@@ -42,7 +43,7 @@ def test_canvas_mesh_shard_map(rng):
     imgs = _frames(rng, B, H, W)
     mesh = make_mesh(4, data=4, space=1)
     bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
-                     mesh=mesh)
+                     batch_mode="canvas", mesh=mesh)
     got = np.asarray(bs.iterate(imgs, max_iter=3))
     ref = _per_frame(Slic, imgs, K, 3)
     np.testing.assert_array_equal(got, ref)
@@ -54,7 +55,7 @@ def test_canvas_quantized_variants(rng, cls, variant):
     B, H, W, K = 2, 60, 76, 32
     imgs = _frames(rng, B, H, W)
     bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
-                     variant=variant)
+                     batch_mode="canvas", variant=variant)
     got = np.asarray(bs.iterate(imgs, max_iter=3))
     ref = _per_frame(cls, imgs, K, 3)
     np.testing.assert_array_equal(got, ref)
@@ -64,7 +65,7 @@ def test_canvas_preemptive(rng):
     B, H, W, K = 2, 60, 76, 32
     imgs = _frames(rng, B, H, W)
     bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
-                     preemptive=True)
+                     batch_mode="canvas", preemptive=True)
     got = np.asarray(bs.iterate(imgs, max_iter=4))
     ref = _per_frame(Slic, imgs, K, 4, preemptive=True)
     np.testing.assert_array_equal(got, ref)
@@ -76,7 +77,7 @@ def test_vmap_fallback_noq(rng):
     B, H, W, K = 2, 60, 76, 32
     imgs = _frames(rng, B, H, W)
     bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
-                     variant="real_noq")
+                     batch_mode="canvas", variant="real_noq")
     got = np.asarray(bs.iterate(imgs, max_iter=3))
     ref = _per_frame(SlicRealDistNoQ, imgs, K, 3)
     np.testing.assert_array_equal(got, ref)
@@ -87,7 +88,8 @@ def test_canvas_warm_start(rng):
     # Slic objects per stream position
     B, H, W, K = 3, 60, 76, 32
     imgs = _frames(rng, B, H, W)
-    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla")
+    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
+                     batch_mode="canvas")
     bs.iterate(imgs, max_iter=2)
     got = np.asarray(bs.iterate(imgs, max_iter=2))
     slics = [Slic(num_components=K, min_size_factor=0.1) for _ in range(B)]
@@ -110,7 +112,8 @@ def test_canvas_tie_flag_host_rerun(rng):
     blk = (np.indices((H // 8, W // 8)).sum(0) % 2).astype(np.uint8) * 255
     tie[:, :, 0] = np.kron(blk, np.ones((8, 8), np.uint8))
     imgs[1] = tie
-    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla")
+    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
+                     batch_mode="canvas")
     got = np.asarray(bs.iterate(imgs, max_iter=3))
     ref = _per_frame(Slic, imgs, K, 3)
     np.testing.assert_array_equal(got, ref)
@@ -132,3 +135,29 @@ def test_canvas_rejects_float_variants():
     from fast_slic_tpu.parallel.canvas import make_canvas_config
     with pytest.raises(NotImplementedError):
         make_canvas_config(2, 60, 76, 32, 3, variant="lsc")
+
+
+def test_map_mode_matches_per_frame(rng):
+    """The default lax.map batch mode must equal the per-frame Slic path
+    bit-exactly for every variant (it runs the identical program)."""
+    B, H, W, K = 2, 60, 76, 32
+    imgs = _frames(rng, B, H, W)
+    for cls, variant in [(Slic, "standard"), (SlicRealDist, "real")]:
+        bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
+                         variant=variant, batch_mode="map")
+        got = np.asarray(bs.iterate(imgs, max_iter=3))
+        ref = _per_frame(cls, imgs, K, 3)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_map_mode_float_variants(rng):
+    """real_noq / lsc get the fast per-frame path under map mode (the
+    canvas excludes them: float centroid means are not shift-invariant)."""
+    from fast_slic_tpu.models.slic import SlicRealDistNoQ
+    B, H, W, K = 2, 60, 76, 16
+    imgs = _frames(rng, B, H, W)
+    bs = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla",
+                     variant="real_noq", batch_mode="map")
+    got = np.asarray(bs.iterate(imgs, max_iter=3))
+    ref = _per_frame(SlicRealDistNoQ, imgs, K, 3)
+    np.testing.assert_array_equal(got, ref)
