@@ -22,6 +22,12 @@ Methodology notes (honesty constraints):
   asserts no exactness-fallback flag fired (a flagged frame would need a
   host CCA re-run that the timing would not include).  The per-batch flag
   check (device->host [B] bools) IS included in the timed loop.
+* Syncing: block_until_ready does not reliably wait on the tunneled dev
+  backend; the loops sync via an on-device scalar reduce (NOTES.md traps).
+* single_frame_mpix_s dispatches one program per frame and is bound by the
+  tunnel's ~12 ms non-overlapped per-dispatch cost (device compute is
+  ~12 ms/frame); the batched path amortizes dispatch over the whole batch
+  and is the headline number.
 """
 
 import json
@@ -92,7 +98,11 @@ def bench_single(H, W, K, max_iter, stride, arch, reps):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # sync via an on-device reduce to a scalar: block_until_ready does not
+    # reliably synchronize on the tunneled dev backend, and materializing a
+    # SLICE pays a full-buffer device->host transfer (NOTES.md traps)
+    import jax.numpy as jnp
+    np.asarray(jnp.sum(out.labels))
     dt = (time.perf_counter() - t0) / reps
     return (H * W) / dt / 1e6
 
@@ -137,7 +147,7 @@ def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
     for _ in range(reps):
         slic._state = st0
         labels = slic.iterate(frames_dev, max_iter=max_iter)
-    jax.block_until_ready(labels)
+    np.asarray(jnp.sum(labels))  # real sync (see NOTES.md traps)
     dt = (time.perf_counter() - t0) / reps
     assert not np.asarray(slic.last_flags).any()
     return (B * H * W) / dt / 1e6
@@ -148,7 +158,7 @@ def main():
     max_iter, stride = 10, 3
     arch = os.environ.get("FSTPU_BENCH_ARCH", "pallas")
     reps = int(os.environ.get("FSTPU_BENCH_REPS", "20"))
-    B = int(os.environ.get("FSTPU_BENCH_BATCH", "8"))
+    B = int(os.environ.get("FSTPU_BENCH_BATCH", "32"))
 
     single = bench_single(H, W, K, max_iter, stride, arch, reps)
     batched = bench_batched(B, H, W, K, max_iter, stride, arch,

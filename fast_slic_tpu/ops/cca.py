@@ -494,13 +494,15 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
 
 def _slic_reach(shape, S=None):
     """Horizontal doubling reach for the propagation kernel: SLIC runs are
-    bounded by the component diameter ~2S+1; cap a bit above it (longer
-    adversarial runs just take extra fixpoint passes).  Callers that know
-    the actual sampling interval pass it; the fallback guesses from K>=64
-    (conservative: an overestimate only costs doubling steps, an
-    underestimate costs fixpoint passes)."""
+    bounded by the component diameter 2S+1 (every pixel of a label lies in
+    the +-S window of its center), so 2S+4 covers any run with slack; longer
+    adversarial runs (pathological UNASSIGNED spans — flagged content) just
+    take extra fixpoint passes.  Callers that know the actual sampling
+    interval pass it; the fallback guesses from K>=64 (conservative: an
+    overestimate only costs doubling steps, an underestimate costs fixpoint
+    passes)."""
     H, W = shape
     if S is None:
         import math as _m
         S = max(1, int(_m.sqrt((H * W) / 64)))  # conservative: K >= 64
-    return min(W, 4 * S + 2)
+    return min(W, 2 * S + 4)
