@@ -57,23 +57,32 @@ def _doubling_steps(n, reach=None):
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
-def _span_masks(lab, axis, steps):
-    """Precompute the segmented-doubling span-uniformity masks (label-only,
-    so they are computed ONCE per kernel pass and reused by every local
-    round — the min values change per round, the labels never do).
+_INT_MIN = -0x80000000
 
-    ok[t][i] = 1 iff lab is uniform over the span (i - 2^t, i] along `axis`
-    (the +1 direction); the -1 direction's mask is ok[t] rolled by -2^t.
-    Recurrence: ok_0 = (lab == roll(lab, 1)), ok_{t+1} = ok_t & roll(ok_t,
-    2^t) — out-of-range spans are 0 by the masked roll.
+
+def _span_masks(lab, axis, steps):
+    """Precompute segmented-doubling span CLAMP VALUES (label-only, so they
+    are computed ONCE per kernel pass and reused by every local round — the
+    min values change per round, the labels never do).
+
+    A doubling step is ``cur = min(cur, max(roll(cur, sh), mv))`` with
+    mv = INT_MIN where the spanned labels are uniform (no clamp) and BIG
+    (= no contribution) otherwise — one VPU op cheaper than the
+    compare/where form, and the -1 direction's values are precomputed
+    instead of re-rolled every round.
+
+    Returns ([mv_plus...], [mv_minus...]): mv_plus[t][i] covers the span
+    (i - 2^t, i]; mv_minus[t] is mv_plus[t] rolled by -2^t (fill BIG).
     """
-    masks = []
     ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
-    masks.append(ok)
+    oks = [ok]
     for t in range(steps - 1):
         ok = ok * _roll_masked(ok, 1 << t, axis, 0)
-        masks.append(ok)
-    return masks
+        oks.append(ok)
+    mvp = [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
+    mvm = [_roll_masked(mvp[t], -(1 << t), axis, _BIG)
+           for t in range(steps)]
+    return mvp, mvm
 
 
 def _seg_doubling(m, lab, axis, reach=None, masks=None):
@@ -88,14 +97,14 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None):
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
         masks = _span_masks(lab, axis, steps)
+    mvp, mvm = masks
     for direction in (1, -1):
         cur = m
+        mv = mvp if direction == 1 else mvm
         for t in range(steps):
             sh = direction * (1 << t)
-            okt = masks[t] if direction == 1 else _roll_masked(
-                masks[t], -(1 << t), axis, 0)
             cur_sh = _roll_masked(cur, sh, axis, _BIG)
-            cur = jnp.where(okt != 0, jnp.minimum(cur, cur_sh), cur)
+            cur = jnp.minimum(cur, jnp.maximum(cur_sh, mv[t]))
         m = jnp.minimum(m, cur)
     return m
 
