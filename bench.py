@@ -153,6 +153,114 @@ def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
     return (B * H * W) / dt / 1e6
 
 
+
+def bench_config1(arch, reps):
+    """BASELINE config 1: Slic K=100, 640x480, min_size_factor=0 (CCA
+    thresholding still runs with threshold 0 — matching the reference,
+    which skips only the merge work)."""
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu import cluster as cl
+    from fast_slic_tpu.config import StaticConfig
+    from fast_slic_tpu import pipeline
+
+    H, W, K = 480, 640, 100
+    cfg = StaticConfig(H=H, W=W, K=K, arch=arch, convert_to_lab=True)
+    image = make_image(H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    fn = pipeline.compiled_iterate(cfg, 10, 3)
+    scalars = pipeline.derive_scalars(cfg, 10.0, 0.0, 0.05)
+    args = (jnp.asarray(image), st, scalars)
+    out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def bench_config3(arch, reps):
+    """BASELINE config 3: quantized path with subsample stride 3 and
+    preemptive early-exit at 1080p."""
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu import cluster as cl
+    from fast_slic_tpu.config import StaticConfig
+    from fast_slic_tpu import pipeline
+
+    H, W, K = 1080, 1920, 1600
+    cfg = StaticConfig(H=H, W=W, K=K, arch=arch, convert_to_lab=True,
+                       preemptive=True)
+    image = make_image(H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    fn = pipeline.compiled_iterate(cfg, 10, 3)
+    scalars = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
+    args = (jnp.asarray(image), st, scalars)
+    out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def bench_config4(arch, reps):
+    """BASELINE config 4: LSC K=1600 at 1080p (float feature-space kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu import cluster as cl
+    from fast_slic_tpu.config import StaticConfig
+    from fast_slic_tpu import pipeline
+
+    H, W, K = 1080, 1920, 1600
+    cfg = StaticConfig(H=H, W=W, K=K, arch=arch, variant="lsc",
+                       convert_to_lab=True)
+    image = make_image(H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    fn = pipeline.compiled_iterate(cfg, 10, 3)
+    scalars = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
+    args = (jnp.asarray(image), st, scalars)
+    out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jnp.sum(out.labels))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def bench_config5(reps):
+    """BASELINE config 5: SimpleCRF temporal refinement over a 5-frame
+    window of 720p superpixel graphs (K=1600 nodes, 21 classes)."""
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu.crf import SimpleCRF
+    from fast_slic_tpu import Slic
+
+    K, C, T = 1600, 21, 5
+    crf = SimpleCRF(C, K)
+    s = Slic(num_components=K, min_size_factor=0.1)
+    frames = []
+    for t in range(T):
+        img = make_image(720, 1280, seed=t)
+        s.iterate(img)
+        f = crf.push_slic_frame(s)
+        rngl = np.random.default_rng(t)
+        f.set_proba(np.ascontiguousarray(
+            rngl.dirichlet(np.ones(C), K).T.astype(np.float32)))
+        frames.append(f)
+    crf.initialize()
+    crf.inference(5)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        crf.initialize()
+        crf.inference(5)
+    np.asarray(frames[0].get_inferred()[:1, :1])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def main():
     H, W, K = 720, 1280, 1600
     max_iter, stride = 10, 3
@@ -163,6 +271,20 @@ def main():
     single = bench_single(H, W, K, max_iter, stride, arch, reps)
     batched = bench_batched(B, H, W, K, max_iter, stride, arch,
                             max(3, reps // 2))
+    extras = {}
+    if os.environ.get("FSTPU_BENCH_CONFIGS", "1") != "0":
+        # the full BASELINE.md config matrix (ms per frame/window)
+        try:
+            extras["cfg1_640x480_K100_msf0_ms"] = round(
+                bench_config1(arch, reps), 2)
+            extras["cfg3_1080p_preemptive_ms"] = round(
+                bench_config3(arch, max(5, reps // 2)), 2)
+            extras["cfg4_1080p_lsc_ms"] = round(
+                bench_config4(arch, max(5, reps // 2)), 2)
+            extras["cfg5_crf_T5_K1600_C21_ms"] = round(
+                bench_config5(max(3, reps // 4)), 2)
+        except Exception as e:  # keep the headline alive on any failure
+            extras["config_matrix_error"] = str(e)[:200]
 
     baseline_mpix_s = (640 * 480) / 8.8e-3 / 1e6  # 34.9 Mpix/s (CPU ref)
     print(json.dumps({
@@ -173,6 +295,7 @@ def main():
         "single_frame_mpix_s": round(single, 2),
         "batch": B,
         "fps_720p": round(batched * 1e6 / (H * W), 1),
+        **extras,
     }))
 
 

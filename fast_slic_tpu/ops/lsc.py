@@ -66,19 +66,27 @@ def features(planes, cfg: StaticConfig, tables):
     """
     H, W = cfg.H, cfg.W
     t = {k: jnp.asarray(v) for k, v in tables.items()}
-    Lp = planes[..., 0]
-    Ap = planes[..., 1]
-    Bp = planes[..., 2]
 
     ones = jnp.ones([H, W], jnp.float32)
+    if jax.default_backend() == "tpu":
+        # fused LUT kernel: the six XLA table gathers execute serially
+        # (~8 ns/element — ~100 ms at 1080p)
+        from ..pallas.lut_tpu import lsc_color_feats_pallas
+        color6 = lsc_color_feats_pallas(
+            planes, tables["L_cos"], tables["L_sin"],
+            tables["color_cos"], tables["color_sin"])
+        color_parts = [color6[..., i] for i in range(6)]
+    else:
+        Lp = planes[..., 0]
+        Ap = planes[..., 1]
+        Bp = planes[..., 2]
+        color_parts = [
+            t["L_cos"][Lp], t["L_sin"][Lp],
+            t["color_cos"][Ap], t["color_sin"][Ap],
+            t["color_cos"][Bp], t["color_sin"][Bp],
+        ]
     feats = jnp.stack(
-        [
-            t["L_cos"][Lp],
-            t["L_sin"][Lp],
-            t["color_cos"][Ap],
-            t["color_sin"][Ap],
-            t["color_cos"][Bp],
-            t["color_sin"][Bp],
+        color_parts + [
             t["w_cos"][None, :] * ones,
             t["w_sin"][None, :] * ones,
             t["h_cos"][:, None] * ones,
@@ -128,29 +136,53 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
     pixel_mask restricts accumulation to active preemptive tiles
     (lsc.cpp:270-287)."""
     H, W, K = cfg.H, cfg.W, cfg.K
-    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    mask = ((ii % stride) == rem) & (assignment != UNASSIGNED)
-    if pixel_mask is not None:
-        mask = mask & pixel_mask
-    ids = jnp.where(mask, assignment, K).ravel()
 
-    # w-weighted feature sums as a one-hot matmul (TPU scatters serialize;
-    # see pipeline.segment_sum_matmul).  Accumulation is f32 like the
-    # reference's thread-local float accumulators (lsc.cpp:245-297).
+    # subsample-slice the rows like update_xla: only rows == rem (mod
+    # stride) contribute, so the accumulation reads 1/stride of the image
+    if isinstance(stride, int) and stride > 1 and isinstance(rem, int):
+        feats_s = feats[rem::stride]
+        weights_s = weights[rem::stride]
+        asg_s = assignment[rem::stride]
+        pm_s = pixel_mask[rem::stride] if pixel_mask is not None else None
+    else:
+        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        row_ok = (ii % stride) == rem
+        feats_s, weights_s, asg_s = feats, weights, assignment
+        pm_s = (row_ok if pixel_mask is None else (row_ok & pixel_mask))
+    mask = asg_s != UNASSIGNED
+    if pm_s is not None:
+        mask = mask & pm_s
+    # masked pixels keep their (valid) id so the band guard stays tight;
+    # never-assigned pixels go to the dropped bin K
+    ids = jnp.where(asg_s != UNASSIGNED, asg_s, K).ravel()
+
+    # w-weighted feature sums per cluster (TPU scatters serialize; the
+    # unguarded one-hot einsum costs ~7 ms/iteration at 1080p).
+    # Accumulation is f32 like the reference's thread-local float
+    # accumulators (lsc.cpp:245-297).
     wf = jnp.concatenate(
-        [(feats * weights[..., None]).reshape(-1, 10),
-         weights.reshape(-1, 1)], axis=1)
-    tile = 4096
-    N = wf.shape[0]
-    n_tiles = -(-N // tile)
-    pad = n_tiles * tile - N
-    ids_p = jnp.concatenate([ids, jnp.full([pad], K, ids.dtype)])
-    wf_p = jnp.concatenate([wf, jnp.zeros([pad, 11], wf.dtype)])
-    oh = (ids_p.reshape(n_tiles, tile)[..., None]
-          == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
-    acc11 = jnp.einsum("btk,btv->kv", oh, wf_p.reshape(n_tiles, tile, 11),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        [(feats_s * weights_s[..., None]).reshape(-1, 10),
+         weights_s.reshape(-1, 1)], axis=1)
+    if jax.default_backend() == "tpu":
+        from ..pallas.segsum_tpu import float_segsum_pallas
+        acc11 = jnp.transpose(float_segsum_pallas(
+            ids, mask.astype(jnp.int32).ravel(), jnp.transpose(wf), K,
+            False))
+    else:
+        wf = wf * mask.astype(jnp.float32).ravel()[:, None]
+        ids_m = jnp.where(mask.ravel(), ids, K)
+        tile = 4096
+        N = wf.shape[0]
+        n_tiles = -(-N // tile)
+        pad = n_tiles * tile - N
+        ids_p = jnp.concatenate([ids_m, jnp.full([pad], K, ids.dtype)])
+        wf_p = jnp.concatenate([wf, jnp.zeros([pad, 11], wf.dtype)])
+        oh = (ids_p.reshape(n_tiles, tile)[..., None]
+              == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
+        acc11 = jnp.einsum("btk,btv->kv", oh,
+                           wf_p.reshape(n_tiles, tile, 11),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     acc = acc11[:K, :10]
     wsum = acc11[:K, 10]
 

@@ -332,7 +332,11 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     (assignment int32, min_dists f32) at [Hp, Wp].
     """
     _, Hp, Wp = planes3.shape
-    rows = 64
+    n_feat_in = 0 if feat_planes is None else feat_planes.shape[0]
+    # VMEM budget: the LSC variant holds 3 + n_feat pixel planes plus the
+    # expansion working set per strip; at wide rows*Wp it exceeds the 16 MB
+    # scoped limit (measured: 20.7 MB at 64x1920 with 10 feature channels)
+    rows = 32 if n_feat_in * Wp >= 8 * 1664 else 64
     n_strips = Hp // rows
     CR = _strip_rows_cr(GH, S, stride, rows)
     n_feat = 0 if feat_planes is None else feat_planes.shape[0]

@@ -134,3 +134,73 @@ def rgb_to_lab_pallas(image, interpret: bool | None = None):
     )(jnp.asarray(srgb2d), jnp.asarray(lab2d), rows)
     return jnp.stack([out[0, :n], out[1, :n], out[2, :n]],
                      axis=-1).reshape(H, W, 3)
+
+
+def _lsc_feat_kernel(lcos_ref, lsin_ref, ccos_ref, csin_ref, rgb_ref,
+                     out_ref):
+    """Six 256-entry f32 LUT lookups for the LSC color features
+    (lsc.cpp:66-135): rows 0..2 of rgb_ref are the quantized L, a, b
+    planes; outputs rows 0..5 are L_cos[L], L_sin[L], color_cos[a],
+    color_sin[a], color_cos[b], color_sin[b].  Tables are [2, 128] f32;
+    the lookup contracts a HIGHEST-precision f32 matmul over the lane
+    level (exact for arbitrary f32 table values) and selects over the two
+    hi rows."""
+    tile = rgb_ref.shape[1]
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (2, tile), 0)
+
+    def lookups(x, table_refs):
+        ohl = (x % _LO == lo_iota).astype(jnp.float32)
+        outs = []
+        for tref in table_refs:
+            M = jax.lax.dot(tref[:], ohl,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # [2, tile]
+            sel = jnp.where(hi_iota == (x // _LO), M, jnp.zeros_like(M))
+            outs.append(jnp.sum(sel, axis=0, keepdims=True))
+        return outs
+
+    l1, l2 = lookups(rgb_ref[0:1, :], (lcos_ref, lsin_ref))
+    a1, a2 = lookups(rgb_ref[1:2, :], (ccos_ref, csin_ref))
+    b1, b2 = lookups(rgb_ref[2:3, :], (ccos_ref, csin_ref))
+    zero = jnp.zeros_like(l1)
+    out_ref[:] = jnp.concatenate([l1, l2, a1, a2, b1, b2, zero, zero],
+                                 axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lsc_color_feats_pallas(planes, lcos, lsin, ccos, csin,
+                           interpret: bool | None = None):
+    """planes int32 [H, W, 3] (quantized L, a, b) -> f32 [H, W, 6] LSC
+    color features, identical to gathering the 256-entry host tables
+    (ops/lsc.py features(); the XLA gather form executes serially at
+    ~8 ns/element — ~100 ms for six lookups at 1080p)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W, _ = planes.shape
+    n = H * W
+    tile = 4096   # 8192 exceeds scoped VMEM (three [128, tile] f32 one-hots
+                  # + HIGHEST-precision matmul expansions live at once)
+    n_tiles = -(-n // tile)
+    Np = n_tiles * tile
+
+    flat = planes.astype(jnp.int32).reshape(n, 3)
+    rows = jnp.zeros((8, Np), jnp.int32)
+    rows = rows.at[0, :n].set(flat[:, 0])
+    rows = rows.at[1, :n].set(flat[:, 1])
+    rows = rows.at[2, :n].set(flat[:, 2])
+
+    def t2d(t):
+        return jnp.asarray(t, jnp.float32).reshape(2, _LO)
+
+    out = pl.pallas_call(
+        _lsc_feat_kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 +
+                 [pl.BlockSpec((8, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        interpret=interpret,
+    )(t2d(lcos), t2d(lsin), t2d(ccos), t2d(csin), rows)
+    return jnp.stack([out[c, :n] for c in range(6)], axis=-1).reshape(
+        H, W, 6)

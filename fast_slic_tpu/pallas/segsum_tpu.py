@@ -272,3 +272,71 @@ def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     # rows are per-bucket groups of 8: [n_hi*8, 128] -> [8, Kp]
     out = out.reshape(n_hi, 8, _LO).transpose(1, 0, 2).reshape(8, Kp)
     return out[:V, :num_segments + 1]
+
+
+def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
+    """Band-guarded f32 segment-sum (LSC weighted feature accumulation).
+
+    ids_ref [8, tile] i32 (row 0 = segment ids, row 1 = 0/1 mask);
+    vals_ref [16, tile] f32 (rows 0..10 = weighted features + weight).
+    Output rows are grouped 16 per hi bucket.  Matmuls run at
+    Precision.HIGHEST — the same precision class as the reference's f32
+    accumulators (LSC parity is >=0.999 agreement, not bit-exact)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[0:1, :]
+    mask = ids_ref[1:2, :].astype(jnp.float32)
+    vals = vals_ref[:] * mask
+    hi_row = ids // _LO
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+    oh_t = (ids % _LO == lo_iota).astype(jnp.float32)
+
+    band_lo = jnp.min(hi_row)
+    band_hi = jnp.max(hi_row)
+
+    def body(h, carry):
+        m = (hi_row == h).astype(jnp.float32)
+        part = jax.lax.dot_general(
+            vals * m, oh_t, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # [16, _LO]
+        out_ref[pl.ds(h * 16, 16), :] += part
+        return carry
+
+    jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def float_segsum_pallas(ids, mask, vals, num_segments: int, interpret: bool):
+    """ids int32 [N] in [0, num_segments] (masked pixels should carry a
+    nearby valid id so the hi-bucket band stays tight), mask int32 [N],
+    vals f32 [V, N] with V <= 16.  Returns f32 [V, num_segments + 1]."""
+    V, N = vals.shape
+    assert V <= 16
+    tile = 4096
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    Kp = -(-(num_segments + 1) // _LO) * _LO
+    n_hi = Kp // _LO
+
+    pack = jnp.zeros((8, Np), jnp.int32)
+    pack = pack.at[0, :].set(jnp.broadcast_to(ids[-1], (Np,)))
+    pack = pack.at[0, :N].set(ids)
+    pack = pack.at[1, :N].set(mask)
+    vp = jnp.zeros((16, Np), jnp.float32).at[:V, :N].set(vals)
+
+    out = pl.pallas_call(
+        functools.partial(_fsegsum_kernel, tile=tile),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
+                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((n_hi * 16, _LO), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_hi * 16, _LO), jnp.float32),
+        interpret=interpret,
+    )(pack, vp)
+    out = out.reshape(n_hi, 16, _LO).transpose(1, 0, 2).reshape(16, Kp)
+    return out[:V, :num_segments + 1]
