@@ -44,7 +44,7 @@ _U32_MAX = 0xFFFFFFFF
 
 
 def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
-                   cv_ref, cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
+                   cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
                    out_a_ref, out_d_ref, *, S, GH, GW, C, CR, rows,
                    stride, W_real, H_real, manhattan):
     gi = pl.program_id(0)
@@ -88,8 +88,7 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
             for p in parts)
 
     ey, ex = rowx(cy_ref, True), rowx(cx_ref, True)
-    er, eg, eb, ev = (rowx(r, False) for r in
-                      (cr_ref, cg_ref, cb_ref, cv_ref))
+    er, eg, eb = (rowx(r, False) for r in (cr_ref, cg_ref, cb_ref))
 
     ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
           * stride + rem)
@@ -115,10 +114,9 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     for s in range(C):
         cy = lanex(ey, s)
         cx = lanex(ex, s)
-        valid = lanex(ev, s) > 0.5
         di = ii - cy
         dj = jj - cx
-        inwin = valid & (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+        inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
         if manhattan:
             spf = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
         else:
@@ -174,19 +172,20 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     and the winner is tracked as an (md, ms) carry — slots are visit-ordered
     so `dist < md` reproduces the reference's first-writer tie rule.
 
-    refs layout: 7 + n_feat cell-field refs ([1, CR, C*GW] f32 each:
-    y, x, r, g, b, valid, id, then LSC centroid channels), then 3 + n_feat
+    refs layout: 6 + n_feat cell-field refs ([1, CR, C*GW] f32 each:
+    y, x, r, g, b, id — empty slots carry y=_INVALID_Y, failing every
+    window test — then LSC centroid channels), then 3 + n_feat
     pixel-plane refs ([rows, Wp]: quad planes int32, then LSC feature
     channels f32), then old assignment; outputs (assignment, min_dists f32).
     """
-    nf = 7 + n_feat
+    nf = 6 + n_feat
     field_refs = refs[:nf]
     plane_refs = refs[nf:nf + 3 + n_feat]
     old_ref = refs[nf + 3 + n_feat]
     out_a_ref = refs[nf + 3 + n_feat + 1]
     out_d_ref = refs[nf + 3 + n_feat + 2]
-    (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cv_ref, cid_ref) = field_refs[:7]
-    feat_cent_refs = field_refs[7:]
+    (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = field_refs[:6]
+    feat_cent_refs = field_refs[6:]
 
     gi = pl.program_id(0)
     Wp = plane_refs[0].shape[1]
@@ -241,15 +240,14 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     for s in range(C):
         cy = lanex(expanded[0], s)
         cx = lanex(expanded[1], s)
-        valid = lanex(expanded[5], s) > 0.5
         if variant == "lsc":
             cyi = cy.astype(jnp.int32)
             cxi = cx.astype(jnp.int32)
-            inwin = (valid & (jnp.abs(ii - cyi) <= S)
+            inwin = ((jnp.abs(ii - cyi) <= S)
                      & (jnp.abs(jj - cxi) <= S))
             dist = jnp.zeros((rows, Wp), jnp.float32)
             for fch in range(n_feat):
-                cfv = lanex(expanded[7 + fch], s)
+                cfv = lanex(expanded[6 + fch], s)
                 d = feats[fch] - cfv
                 dist = dist + nofma(d * d)
         elif variant == "real_noq":
@@ -259,7 +257,7 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
             x_lo = jnp.maximum(jnp.trunc(cx - S).astype(jnp.int32), 0)
             x_hi = jnp.minimum(jnp.trunc(cx + S + 1).astype(jnp.int32),
                                W_real)
-            inwin = (valid & (ii >= y_lo) & (ii < y_hi) & (jj >= x_lo)
+            inwin = ((ii >= y_lo) & (ii < y_hi) & (jj >= x_lo)
                      & (jj < x_hi))
             dr = p0.astype(jnp.float32) - lanex(expanded[2], s)
             dg = p1.astype(jnp.float32) - lanex(expanded[3], s)
@@ -277,7 +275,7 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
             cxi = cx.astype(jnp.int32)
             di = ii - cyi
             dj = jj - cxi
-            inwin = valid & (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+            inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
             if variant == "real_l2":
                 fy = coef * di.astype(jnp.float32)
                 fx = coef * dj.astype(jnp.float32)
@@ -309,7 +307,7 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     got = ms >= 0
     new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
     for s in range(C):
-        cid = lanex(expanded[6], s).astype(jnp.int32)
+        cid = lanex(expanded[5], s).astype(jnp.int32)
         new_assign = jnp.where(got & (ms == s) & (cid >= 0), cid, new_assign)
 
     write = got & (new_assign != UNASSIGNED)
@@ -327,7 +325,7 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     """Fused float-distance assign (real / real_l2 / real_noq / lsc).
 
     planes3: int32 [3, Hp, Wp]; feat_planes: f32 [n_feat, Hp, Wp] or None
-    (LSC feature channels); cell_fields: 7 f32 [GH, C*GW]; feat_fields:
+    (LSC feature channels); cell_fields: 6 f32 [GH, C*GW]; feat_fields:
     n_feat f32 [GH, C*GW] LSC centroid channels or None.  Returns
     (assignment int32, min_dists f32) at [Hp, Wp].
     """
@@ -355,7 +353,7 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     scal = jnp.stack([coef.astype(jnp.float32),
                       rem_i.astype(jnp.float32)])
 
-    nf = 7 + n_feat
+    nf = 6 + n_feat
     kernel = functools.partial(
         _assign_kernel_float, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
         stride=stride, W_real=W, H_real=H, manhattan=manhattan,
@@ -388,7 +386,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
 
     planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
     rounded up to a lane multiple); old_assign int32 [Hp, Wp];
-    cell_fields: tuple of 7 f32 [GH, C*GW] arrays (y, x, r, g, b, valid, id);
+    cell_fields: tuple of 6 f32 [GH, C*GW] arrays (y, x, r, g, b, id);
     stride: STATIC python int (row r of the input maps to absolute image
     row r*stride + rem); rem: traced int32 scalar.
     Returns (assignment int32 [Hp, Wp], min_dists int32 [Hp, Wp]).
@@ -403,7 +401,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     base = (jnp.arange(n_strips, dtype=jnp.int32) * (rows * stride) + rem_i)
     base = jnp.clip(base // S, 0, max(GH - CR, 0))
     idx = base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
-    stack = jnp.stack(cell_fields, 0)                 # [7, GH, C*GW]
+    stack = jnp.stack(cell_fields, 0)                 # [6, GH, C*GW]
     strips = stack[:, idx, :]                         # [7, n_strips, CR, C*GW]
 
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
@@ -418,13 +416,13 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
         kernel,
         grid=(n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [cells] * 7 +
+                 [cells] * 6 +
                  [strip, strip, strip, strip],
         out_specs=(strip, strip),
         out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)),
         interpret=interpret,
-    )(scal, *(strips[i] for i in range(7)),
+    )(scal, *(strips[i] for i in range(6)),
       planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d
 
@@ -442,18 +440,26 @@ def prepare_feat_fields(cand, cent):
     return tuple(fold(cdata[..., i]) for i in range(cent.shape[-1]))
 
 
+_INVALID_Y = 65000.0  # empty-slot y: defeats every |di| <= S window test
+                      # (requires H + S < 65000; byte halves 253/232 are
+                      # bf16-exact, so the split expansion stays exact)
+
+
 def prepare_cell_fields(cand, table):
-    """cand [GH, GW, C] int32, table [K, 5] f32 -> 7 f32 [GH, C*GW] arrays."""
+    """cand [GH, GW, C] int32, table [K, 5] f32 -> 6 f32 [GH, C*GW] arrays
+    (y, x, r, g, b, id).  Empty slots carry y = _INVALID_Y, which fails the
+    spatial window test in every variant — no separate validity field (one
+    fewer expansion matmul + compare per candidate slot in the kernels)."""
     GH, GW, C = cand.shape
     safe = jnp.maximum(cand, 0)
     cdata = table[safe]                         # [GH, GW, C, 5]
-    valid = (cand >= 0).astype(jnp.float32)
+    valid = cand >= 0
 
     def fold(a):
         # [GH, GW, C] -> [GH, C, GW] -> [GH, C*GW]
         return jnp.swapaxes(a, 1, 2).reshape(GH, C * GW).astype(jnp.float32)
 
-    fields = [fold(cdata[..., i]) for i in range(5)]
-    fields.append(fold(valid))
+    fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
+    fields += [fold(cdata[..., i]) for i in range(1, 5)]
     fields.append(fold(cand.astype(jnp.float32)))
     return tuple(fields)

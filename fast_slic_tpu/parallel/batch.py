@@ -229,6 +229,26 @@ class BatchedSlic:
         array (a video loop should stage frames on-device once and keep the
         whole loop device-resident; re-uploading per call costs host->device
         bandwidth)."""
+        return self.iterate_async(images, max_iter).resolve()
+
+    def iterate_async(self, images, max_iter=10):
+        """Queue one batch and return a :class:`PendingBatch` WITHOUT any
+        host synchronization.  A steady-state video loop should queue batch
+        t+1 before resolving batch t, so the exactness-flag fetch (one
+        device->host round-trip) overlaps the next batch's device compute:
+
+            pending = slic.iterate_async(frames[0])
+            for t in range(1, T):
+                nxt = slic.iterate_async(frames[t])
+                labels = pending.resolve()   # overlaps frames[t]'s compute
+                ...
+                pending = nxt
+            labels = pending.resolve()
+
+        The per-frame cluster state advances immediately (device-side);
+        ``resolve()`` performs the flag check and any bit-parity host CCA
+        re-runs for its batch, exactly like the synchronous ``iterate``.
+        """
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.ascontiguousarray(images, np.uint8))
         if images.dtype != jnp.uint8:
@@ -253,25 +273,12 @@ class BatchedSlic:
             fn = _compiled_map_step(cfg, int(max_iter),
                                     int(self.subsample_stride), self.mesh)
 
+        prev_state = self._state
         labels, st, flags, ovf, raw = fn(images, self._state, scalars)
         self.last_flags = flags  # per-frame exactness flags (device [B] bool)
-
-        if self.check_exactness:
-            # ONE device->host transfer for all flags: each blocked fetch
-            # costs a full dispatch round-trip (28 ms through the dev
-            # tunnel), so ovf and the per-frame flags ride together
-            both = np.asarray(_combined_flags(ovf, flags))
-            if bool(both[0]) and self._capacity_boost < 2:
-                # candidate capacity exceeded: recompile at 4x capacity and
-                # re-run this batch (runner.py escalation semantics)
-                self._capacity_boost += 1
-                return self.iterate(images, max_iter)
-            flags_np = both[1:]
-            if flags_np.any():
-                labels = self._host_cca_rerun(labels, raw, flags_np, cfg,
-                                              scalars)
         self._state = st
-        return labels
+        return PendingBatch(self, images, prev_state, max_iter, cfg,
+                            scalars, labels, flags, ovf, raw)
 
     def _host_cca_rerun(self, labels, raw, flags_np, cfg, scalars):
         """Bit-parity escalation: re-run connectivity enforcement on the
@@ -294,3 +301,39 @@ class BatchedSlic:
             out_f[fixed == UNASSIGNED] = -1
             labels_np[f] = out_f
         return jnp.asarray(labels_np)
+
+
+class PendingBatch:
+    """A queued BatchedSlic batch: device arrays + the deferred exactness
+    check.  See :meth:`BatchedSlic.iterate_async`."""
+
+    def __init__(self, parent, images, prev_state, max_iter, cfg, scalars,
+                 labels, flags, ovf, raw):
+        self._p = (parent, images, prev_state, max_iter, cfg, scalars,
+                   labels, flags, ovf, raw)
+
+    def resolve(self):
+        """Fetch this batch's exactness flags (one device->host transfer)
+        and return the final labels, applying capacity escalation or
+        bit-parity host CCA re-runs if flagged."""
+        (parent, images, prev_state, max_iter, cfg, scalars, labels, flags,
+         ovf, raw) = self._p
+        if not parent.check_exactness:
+            return labels
+        # ONE device->host transfer for all flags: each blocked fetch costs
+        # a full dispatch round-trip (28 ms through the dev tunnel), so ovf
+        # and the per-frame flags ride together
+        both = np.asarray(_combined_flags(ovf, flags))
+        if bool(both[0]) and parent._capacity_boost < 2:
+            # candidate capacity exceeded: recompile at 4x capacity and
+            # re-run this batch from its pre-batch state (runner.py
+            # escalation semantics)
+            parent._capacity_boost += 1
+            parent._state = prev_state
+            return parent.iterate(images, max_iter)
+        flags_np = both[1:]
+        if flags_np.any():
+            labels = parent._host_cca_rerun(labels, raw, flags_np, cfg,
+                                            scalars)
+        return labels
+

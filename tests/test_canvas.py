@@ -161,3 +161,22 @@ def test_map_mode_float_variants(rng):
     got = np.asarray(bs.iterate(imgs, max_iter=3))
     ref = _per_frame(SlicRealDistNoQ, imgs, K, 3)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_iterate_async_matches_sync(rng):
+    """Pipelined iterate_async/resolve must equal the synchronous path
+    (same flags, same host re-runs, same state advance)."""
+    B, H, W, K = 2, 60, 76, 16
+    seqs = [_frames(rng, B, H, W) for _ in range(3)]
+    a = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla")
+    want = [np.asarray(a.iterate(f, max_iter=3)) for f in seqs]
+    b = BatchedSlic(num_components=K, min_size_factor=0.1, arch="xla")
+    pend, got = None, []
+    for f in seqs:
+        nxt = b.iterate_async(f, max_iter=3)
+        if pend is not None:
+            got.append(np.asarray(pend.resolve()))
+        pend = nxt
+    got.append(np.asarray(pend.resolve()))
+    for x, y in zip(want, got):
+        np.testing.assert_array_equal(x, y)
