@@ -309,4 +309,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # transient dev-tunnel/backend failures (e.g. FAILED_PRECONDITION
+        # mid-run) — retry once from scratch before giving up
+        import traceback
+        traceback.print_exc()
+        time.sleep(10)
+        main()

@@ -463,3 +463,4 @@ def prepare_cell_fields(cand, table):
     fields += [fold(cdata[..., i]) for i in range(1, 5)]
     fields.append(fold(cand.astype(jnp.float32)))
     return tuple(fields)
+
