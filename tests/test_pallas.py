@@ -241,3 +241,36 @@ def test_banded_lookup_pallas_scattered_ids(rng):
     got = np.asarray(banded_lookup_pallas(
         jnp.asarray(ids), jnp.asarray(table), E, True))
     np.testing.assert_array_equal(got, table[ids])
+
+
+def test_lsc_color_feats_pallas_matches_gather(rng):
+    from fast_slic_tpu.pallas.lut_tpu import lsc_color_feats_pallas
+    from fast_slic_tpu.ops import lsc as lsc_ops
+    cfg = StaticConfig(H=94, W=130, K=32, variant="lsc")
+    t = lsc_ops.trig_tables(cfg, 10.0)
+    planes = rng.integers(0, 256, (94, 130, 3)).astype(np.int32)
+    got = np.asarray(lsc_color_feats_pallas(
+        jnp.asarray(planes), t["L_cos"], t["L_sin"], t["color_cos"],
+        t["color_sin"], interpret=True))
+    ref = np.stack(
+        [t["L_cos"][planes[..., 0]], t["L_sin"][planes[..., 0]],
+         t["color_cos"][planes[..., 1]], t["color_sin"][planes[..., 1]],
+         t["color_cos"][planes[..., 2]], t["color_sin"][planes[..., 2]]],
+        axis=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_float_segsum_pallas_matches_scatter(rng):
+    from fast_slic_tpu.pallas.segsum_tpu import float_segsum_pallas
+    N, V, K = 5000, 11, 300
+    ids = np.sort(rng.integers(0, K + 1, size=N)).astype(np.int32)
+    mask = (rng.random(N) < 0.9).astype(np.int32)
+    vals = rng.random((V, N)).astype(np.float32)
+    got = np.asarray(float_segsum_pallas(
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(vals), K, True))
+    ref = np.zeros((K + 1, V), np.float64)
+    np.add.at(ref, ids, (vals * mask).T)
+    # f32 accumulation-order tolerance (the kernel sums per tile then
+    # merges; the reference here sums serially)
+    np.testing.assert_allclose(got, ref.T.astype(np.float32), rtol=2e-6,
+                               atol=1e-4)
