@@ -129,17 +129,25 @@ def seed_centroids(feats, st: Clusters, cfg: StaticConfig):
 
 
 def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
-                 rem, stride, assignment, pixel_mask=None):
+                 rem, stride, assignment, pixel_mask=None,
+                 assignment_sub=None, pixel_mask_sub=None):
     """Weighted feature re-centroid (ContextLSC::after_update,
     lsc.cpp:226-307): w-weighted segment-sum of features per cluster, then
     divide by the weight sums; non-updatable clusters keep their centroid.
     pixel_mask restricts accumulation to active preemptive tiles
-    (lsc.cpp:270-287)."""
+    (lsc.cpp:270-287).  The resident-subsampled loop passes the already-
+    sliced assignment/mask via assignment_sub/pixel_mask_sub (rows are
+    absolute rows rem::stride, exactly [ceil((H-rem)/stride), W])."""
     H, W, K = cfg.H, cfg.W, cfg.K
 
     # subsample-slice the rows like update_xla: only rows == rem (mod
     # stride) contribute, so the accumulation reads 1/stride of the image
-    if isinstance(stride, int) and stride > 1 and isinstance(rem, int):
+    if assignment_sub is not None:
+        feats_s = feats[rem::stride]
+        weights_s = weights[rem::stride]
+        asg_s = assignment_sub
+        pm_s = pixel_mask_sub
+    elif isinstance(stride, int) and stride > 1 and isinstance(rem, int):
         feats_s = feats[rem::stride]
         weights_s = weights[rem::stride]
         asg_s = assignment[rem::stride]

@@ -458,42 +458,50 @@ def _subsample_stack(stack, Hp_units, H, stride, rem, zero):
         [sub, jnp.full((ch, Hsp - Hs, Wp), zero, sub.dtype)], axis=1), Hs
 
 
+def run_assign_kernel(p3, fp3, old_p, st, cand, cfg, coef, rem, stride,
+                      lsc_cent=None):
+    """Invoke the Pallas assign kernel on (already padded/sliced) planes.
+
+    p3 int32 [3, Hp', Wp] (full or subsampled-row layout), fp3 LSC feature
+    planes or None, old_p int32 [Hp', Wp].  Returns (assignment, min_dists)
+    at [Hp', Wp]."""
+    from .pallas.assign_tpu import (assign_pallas_standard,
+                                    assign_pallas_float,
+                                    prepare_cell_fields,
+                                    prepare_feat_fields)
+    GH, GW = cell_grid_shape(cfg)
+    table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
+    fields = prepare_cell_fields(cand, table)
+    interp = jax.default_backend() != "tpu"
+    common = dict(S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=cfg.H, W=cfg.W,
+                  manhattan=cfg.manhattan_spatial_dist, interpret=interp)
+    if _use_pallas_assign(cfg):
+        return assign_pallas_standard(
+            p3, old_p, fields, jnp.asarray(coef, jnp.float32),
+            jnp.asarray(rem, jnp.int32), stride, **common)
+    feat_fields = (prepare_feat_fields(cand, lsc_cent)
+                   if cfg.variant == VARIANT_LSC else None)
+    return assign_pallas_float(
+        p3, fp3, old_p, fields, feat_fields,
+        jnp.asarray(coef, jnp.float32), jnp.asarray(rem, jnp.int32),
+        stride, variant=cfg.variant, **common)
+
+
 def assign_dispatch(planes, planes3_padded, st, cand, cfg, coef,
                     old_assignment, rem, stride, lsc_feats=None,
                     lsc_cent=None, feats_padded=None) -> AssignResult:
     """Route one assign pass to the Pallas kernels (fast arch) or the XLA
     oracle path.  All paths are bit-compatible per variant."""
     if _use_pallas_any(cfg) and planes3_padded is not None:
-        from .pallas.assign_tpu import (assign_pallas_standard,
-                                        assign_pallas_float,
-                                        prepare_cell_fields,
-                                        prepare_feat_fields)
         H, W = cfg.H, cfg.W
-        GH, GW = cell_grid_shape(cfg)
         Hp, Wp = planes3_padded.shape[1], planes3_padded.shape[2]
-        table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
-        fields = prepare_cell_fields(cand, table)
-        interp = jax.default_backend() != "tpu"
         quantized = _use_pallas_assign(cfg)
-        feat_fields = None
-        if cfg.variant == VARIANT_LSC:
-            feat_fields = prepare_feat_fields(cand, lsc_cent)
         dist_fill = 0xFFFF if quantized else _F32_MAX
         dist_dtype = jnp.int32 if quantized else jnp.float32
 
         def run(p3, fp3, old_p, stride_i):
-            common = dict(S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=H, W=W,
-                          manhattan=cfg.manhattan_spatial_dist,
-                          interpret=interp)
-            if quantized:
-                return assign_pallas_standard(
-                    p3, old_p, fields, jnp.asarray(coef, jnp.float32),
-                    jnp.asarray(rem, jnp.int32), stride_i, **common)
-            return assign_pallas_float(
-                p3, fp3, old_p, fields, feat_fields,
-                jnp.asarray(coef, jnp.float32),
-                jnp.asarray(rem, jnp.int32), stride_i,
-                variant=cfg.variant, **common)
+            return run_assign_kernel(p3, fp3, old_p, st, cand, cfg, coef,
+                                     rem, stride_i, lsc_cent)
 
         if isinstance(stride, int) and stride > 1:
             # compute only the subsampled rows (3x less kernel work for the
@@ -608,6 +616,36 @@ def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
         ).reshape(-1, 6)
         acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
     return acc
+
+
+def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
+                                stride: int, mask_sub=None):
+    """update_accumulate for pre-sliced subsampled inputs (the resident-
+    subsampled loop): p_sub int32 [Hs, W, 3] (pad rows zero), a_sub int32
+    [Hs, W] with pad/spacer rows already UNASSIGNED.  Row r is absolute
+    image row r*stride + rem."""
+    K, W = cfg.K, cfg.W
+    mask = a_sub != UNASSIGNED
+    if mask_sub is not None:
+        mask = mask & mask_sub
+    if jax.default_backend() == "tpu":
+        from .pallas.segsum_tpu import slic_update_pallas
+        ids2 = jnp.where(a_sub != UNASSIGNED, a_sub, K).ravel()
+        acc6 = slic_update_pallas(
+            ids2, mask.astype(jnp.int32).ravel(),
+            p_sub[..., 0].ravel(), p_sub[..., 1].ravel(),
+            p_sub[..., 2].ravel(), jnp.asarray(rem, jnp.int32), K, W,
+            stride, False)
+        return jnp.transpose(acc6)[:K]
+    Hs = a_sub.shape[0]
+    ii = (jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 0) * stride + rem)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 1)
+    ids = jnp.where(mask, a_sub, K).ravel()
+    vals = jnp.stack(
+        [mask.astype(jnp.int32), ii, jj,
+         p_sub[..., 0], p_sub[..., 1], p_sub[..., 2]], axis=-1,
+    ).reshape(-1, 6)
+    return segment_sum_matmul(ids, vals, K, max(cfg.H, W, 256))[:K]
 
 
 def update_apply_means(acc, st: Clusters, cfg: StaticConfig) -> Clusters:
@@ -778,6 +816,111 @@ def stage_setup(image, st: Clusters, cfg: StaticConfig,
     return planes, st, (lsc_feats, lsc_w, lsc_cent)
 
 
+# Force the unrolled (static-rem) loop off-TPU — used by tests to exercise
+# the resident-subsampled loop in interpret mode.
+_FORCE_UNROLL = False
+# A/B switch for profiling: fall back to the plain full-resolution loop.
+_DISABLE_SUBRESIDENT = False
+
+
+def _stage_loop_subresident(planes, st: Clusters, lsc_state,
+                            cfg: StaticConfig, scalars: DerivedScalars,
+                            max_iter: int, stride: int, planes3_padded,
+                            feats_padded):
+    """The iteration loop with loop state kept in SUBSAMPLED row space.
+
+    The reference's subsampling means iteration i only reads and writes
+    rows r*stride + rem (context.h:89-91, context.cpp:271,316).  The plain
+    loop nevertheless kept a full [H, W] assignment: every iteration sliced
+    the planes and old assignment down to the rem rows, ran the kernel, and
+    scattered the strip back — ~1 ms/frame of pure data movement at 720p.
+    Here the carry is one resident [Hsp, Wp] assignment plane PER REMAINDER
+    (plus per-rem loop-invariant plane slices hoisted out of the loop), so
+    an iteration is exactly: candidates -> assign kernel -> update segsum.
+    The full-resolution assignment is interleaved ONCE after the loop.
+    Bit-identical to the plain loop (same kernels, same masks; asserted by
+    tests/test_pipeline.py::test_subresident_loop_matches_scan).
+
+    Only used when the loop is unrolled (static rem) and the Pallas arch is
+    active; debug_mode (per-iteration recorder snapshots) uses the plain
+    loop.
+    """
+    H, W = cfg.H, cfg.W
+    coef = jnp.asarray(scalars.coef, jnp.float32)
+    lsc_feats, lsc_w, lsc_cent = lsc_state
+    Hp, Wp = planes3_padded.shape[1], planes3_padded.shape[2]
+    Hs = -(-H // stride)
+    pad = Hs * stride - H
+
+    # per-rem loop-invariant slices (computed once, reused every iteration)
+    p3_subs, fp3_subs, p_subs, mask3 = [], [], [], None
+    pv = jnp.concatenate([planes, jnp.zeros((pad, W, 3), planes.dtype)], 0
+                         ).reshape(Hs, stride, W, 3)
+    for rem in range(stride):
+        p3s, _ = _subsample_stack(planes3_padded, Hp, H, stride, rem, 0)
+        p3_subs.append(p3s)
+        if feats_padded is not None:
+            fp3s, _ = _subsample_stack(feats_padded, Hp, H, stride, rem, 0.0)
+            fp3_subs.append(fp3s)
+        else:
+            fp3_subs.append(None)
+        p_subs.append(pv[:, rem])
+    Hsp = p3_subs[0].shape[1]
+
+    # static row-validity masks: pad rows (absolute >= H) and canvas spacer
+    # rows must never contribute to the update
+    valid_rows, n_reals = [], []
+    for rem in range(stride):
+        abs_r = np.arange(Hs) * stride + rem
+        ok = abs_r < H
+        if cfg.is_canvas:
+            ok = ok & ((abs_r % cfg.canvas_pitch) < cfg.canvas_frame_h)
+        valid_rows.append(jnp.asarray(ok[:, None]))
+        n_reals.append(int(-(-(H - rem) // stride)))
+
+    a_subs = [jnp.full((Hsp, Wp), UNASSIGNED, jnp.int32)
+              for _ in range(stride)]
+    pixel_mask = jnp.ones([H, W], bool)
+    cov_acc = jnp.bool_(False)
+
+    for i in range(max_iter):
+        rem = i % stride
+        st = _clamp_centers(st, cfg)
+        cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
+        cov_acc = cov_acc | cov
+        a_new, _ = run_assign_kernel(p3_subs[rem], fp3_subs[rem],
+                                     a_subs[rem], st, cand, cfg, coef, rem,
+                                     stride, lsc_cent)
+        a_subs[rem] = a_new
+        a_upd = jnp.where(valid_rows[rem], a_new[:Hs, :W], UNASSIGNED)
+        old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
+        mask_sub = None
+        if cfg.preemptive:
+            pm = jnp.concatenate(
+                [pixel_mask, jnp.zeros((pad, W), bool)], 0
+            ).reshape(Hs, stride, W)
+            mask_sub = pm[:, rem]
+        acc = update_accumulate_presliced(p_subs[rem], a_upd, cfg, rem,
+                                          stride, mask_sub)
+        st = update_apply_means(acc, st, cfg)
+        if cfg.variant == VARIANT_LSC:
+            lsc_cent = lsc_ops.after_update(
+                lsc_feats, lsc_w, st, lsc_cent, cfg, rem, stride, None,
+                None, assignment_sub=a_upd[:n_reals[rem]],
+                pixel_mask_sub=(mask_sub[:n_reals[rem]]
+                                if mask_sub is not None else None))
+        if cfg.preemptive:
+            st, pixel_mask = _preemptive_step(
+                st, old_y, old_x, cfg,
+                jnp.asarray(scalars.l1_thres, jnp.float32))
+
+    # interleave the per-rem planes back to full resolution (once)
+    full = jnp.stack([a_subs[r][:Hs, :W] for r in range(stride)], axis=1)
+    assignment = full.reshape(Hs * stride, W)[:H]
+    assignment = _mask_spacer(assignment, cfg)
+    return st, assignment, lsc_cent, cov_acc, None
+
+
 def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
                scalars: DerivedScalars, max_iter: int, stride: int):
     """max_iter x (assign, update) with row subsampling + rotating remainder
@@ -790,6 +933,14 @@ def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
     feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
                     if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                     else None)
+
+    unroll_early = jax.default_backend() == "tpu" or _FORCE_UNROLL
+    if (unroll_early and not _DISABLE_SUBRESIDENT and _use_pallas_any(cfg)
+            and isinstance(stride, int)
+            and stride > 1 and not cfg.debug_mode):
+        return _stage_loop_subresident(planes, st, lsc_state, cfg, scalars,
+                                       max_iter, stride, planes3_padded,
+                                       feats_padded)
 
     pixel_mask = jnp.ones([H, W], bool)
     assignment = jnp.full([H, W], UNASSIGNED, jnp.int32)

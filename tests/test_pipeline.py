@@ -113,3 +113,43 @@ def test_labels_cover_and_bounded(image_factory):
     labels, _ = run_jax(image, st, cfg, RuntimeParams(max_iter=5))
     assert labels.min() >= 0
     assert labels.max() < K
+
+
+@pytest.mark.parametrize("variant,flags", [
+    (VARIANT_STANDARD, dict()),
+    (VARIANT_STANDARD, dict(preemptive=True)),
+    (VARIANT_REAL, dict()),
+    (VARIANT_LSC, dict()),
+])
+def test_subresident_loop_matches_scan(image_factory, variant, flags,
+                                       monkeypatch):
+    """The resident-subsampled loop (pipeline._stage_loop_subresident, the
+    TPU fast path) is bit-identical to the plain scan loop: same kernels,
+    no full-resolution scatter-back per iteration."""
+    H, W, K = 48, 64, 12
+    image = image_factory(H, W)
+    cfg = StaticConfig(H=H, W=W, K=K, variant=variant, arch="pallas",
+                       **flags)
+    params = RuntimeParams(min_size_factor=0.1, max_iter=4)
+    st = cl.initialize_clusters(image, K)
+    scalars = pipeline.derive_scalars(cfg, params.compactness,
+                                      params.min_size_factor,
+                                      params.preemptive_thres)
+    img_d = jnp.asarray(image)
+    st_d = jax.tree.map(jnp.asarray, st)
+
+    def run():
+        out = jax.jit(lambda i, s: pipeline.iterate_graph(
+            i, s, cfg, scalars, params.max_iter, 3))(img_d, st_d)
+        return (np.asarray(out.labels), np.asarray(out.raw_assignment),
+                jax.tree.map(np.asarray, out.clusters))
+
+    monkeypatch.setattr(pipeline, "_FORCE_UNROLL", False)
+    labels_scan, raw_scan, st_scan = run()
+    monkeypatch.setattr(pipeline, "_FORCE_UNROLL", True)
+    labels_sub, raw_sub, st_sub = run()
+
+    np.testing.assert_array_equal(raw_sub, raw_scan)
+    np.testing.assert_array_equal(labels_sub, labels_scan)
+    for a, b in zip(jax.tree.leaves(st_sub), jax.tree.leaves(st_scan)):
+        np.testing.assert_array_equal(a, b)
