@@ -121,21 +121,30 @@ def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
     # triggers the bit-parity host-CCA re-run — rare on real video but
     # content-dependent.  The timed loop must measure the pure device path,
     # so flagged frames are swapped for other windows (same natural photo).
+    # The number of swapped frames (and the flag count before any swap) is
+    # DISCLOSED in the output JSON so the content selection is auditable.
     seeds = list(range(1, 4 * B))
     frames = np.stack([make_image(H, W, seed=seeds.pop(0))
                        for _ in range(B)])
+    swapped = 0
+    first_flag_count = None
     for _ in range(4):
         frames_dev = jnp.asarray(frames)
         slic._state = None
         labels = slic.iterate(frames_dev, max_iter=max_iter)
         jax.block_until_ready(labels)
         flags = np.asarray(slic.last_flags)
+        if first_flag_count is None:
+            first_flag_count = int(flags.sum())
         if not flags.any():
             break
         for f in np.nonzero(flags)[0]:
             frames[f] = make_image(H, W, seed=seeds.pop(0))
+            swapped += 1
     assert not flags.any(), \
         "bench content tripped the host-CCA fallback; number would be dishonest"
+    bench_batched.swap_stats = {"frames_swapped": swapped,
+                                "flagged_before_swaps": first_flag_count}
 
     # every rep measures the same deterministic cold-start batch (the
     # single-frame bench passes the same seeded state each call too);
@@ -161,6 +170,44 @@ def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
     assert not np.asarray(slic.last_flags).any()
     return (B * H * W) / dt / 1e6
 
+
+
+def bench_parity(H, W, K, max_iter, stride):
+    """TPU-compiled parity evidence for the permanent record (the analog of
+    the reference's per-arch pinned goldens, test/test_slic.py:68-72):
+    runs the Mosaic-compiled Pallas-arch pipeline AND the XLA-oracle-arch
+    pipeline on one 720p frame ON THE REAL TPU, and separately checks the
+    device CCA against the bit-exact host union-find
+    (native.enforce_connectivity_native) on the Pallas raw assignment.
+    Returns the minimum label agreement (1.0 = bit-identical)."""
+    import jax
+    import jax.numpy as jnp
+    from fast_slic_tpu import cluster as cl
+    from fast_slic_tpu import native
+    from fast_slic_tpu.config import StaticConfig
+    from fast_slic_tpu import pipeline
+
+    image = make_image(H, W, seed=7)
+    st = cl.initialize_clusters(image, K)
+    agreements = []
+    outs = {}
+    for arch in ("pallas", "xla"):
+        cfg = StaticConfig(H=H, W=W, K=K, arch=arch, convert_to_lab=True)
+        scalars = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
+        fn = pipeline.compiled_iterate(cfg, max_iter, stride)
+        out = fn(jnp.asarray(image), jax.tree.map(jnp.asarray, st), scalars)
+        assert not bool(np.asarray(out.cca_tie))
+        outs[arch] = (np.asarray(out.labels), np.asarray(out.raw_assignment),
+                      int(scalars.thres))
+    agreements.append(
+        float((outs["pallas"][0] == outs["xla"][0]).mean()))
+    if native.available():
+        ref = native.enforce_connectivity_native(
+            outs["pallas"][1].astype(np.int32), K, outs["pallas"][2])
+        ref = ref.astype(np.int64)
+        ref[ref == 0xFFFF] = -1
+        agreements.append(float((outs["pallas"][0] == ref).mean()))
+    return min(agreements)
 
 
 def bench_config1(arch, reps):

@@ -155,8 +155,9 @@ class SlicModel:
 
     def get_connectivity(self, assignments):
         from .ops import graph
-        return graph.NodeConnectivity(
-            graph.adjacency(np.asarray(assignments), self.num_components))
+        nbr, lens = graph.adjacency_matrix(np.asarray(assignments),
+                                           self.num_components)
+        return graph.NodeConnectivity(matrix=nbr, lens=lens)
 
     def get_knn_connectivity(self, assignments, num_neighbors):
         from .ops import graph

@@ -70,11 +70,20 @@ def _temporal_energy(c1, c2, p):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_inference(T: int, C: int, N: int, D: int):
+def _compiled_inference(T: int, C: int, N: int, D: int,
+                        from_unaries: bool = False):
     """One jitted mean-field solver for a (frames, classes, nodes, degree)
-    shape.  max_iter is a traced scalar driving a fori_loop."""
+    shape.  max_iter is a traced scalar driving a fori_loop.
+
+    With ``from_unaries`` the initial q = exp(-unary) (SimpleCRF::initialize,
+    simple-crf.cpp:153-157) is computed IN-GRAPH, so a streaming caller that
+    just did ``initialize(); inference(n)`` uploads nothing: unaries/graph
+    are device-cached and posteriors stay on device until someone asks
+    (q is then ignored — pass any array of the right shape)."""
 
     def run(q, unaries, yxmrgb, nbr, params, compat, max_iter):
+        if from_unaries:
+            q = jnp.exp(-unaries)
         # q, unaries: [T, C, N]; yxmrgb: [T, N, 6]; nbr: [T, N, D] (-1 pad)
         valid = nbr >= 0
         safe = jnp.where(valid, nbr, 0)
@@ -142,9 +151,15 @@ class SimpleCRFFrame:
         self.num_nodes = N
         self._yxmrgb = np.zeros([N, 6], np.float32)
         self._yxmrgb[:, 2] = 1.0  # num_members = 1 (simple-crf.hpp:30-32)
-        self._edges = [[] for _ in range(N)]
+        self._nbr = np.full([N, 1], -1, np.int32)   # padded neighbor matrix
+        self._lens = np.zeros([N], np.int64)
         self._unaries = np.zeros([C, N], np.float32)
+        # posterior state: "host" (in self._q), "device" (a slice of a
+        # [T, C, N] stack left on device by inference()), or "unary"
+        # (implied q = exp(-unary), reset_inferred not yet materialized)
         self._q = np.zeros([C, N], np.float32)
+        self._q_mode = "host"
+        self._q_stack = None   # (device stack, index) when mode == "device"
 
     # -- cluster features ----------------------------------------------------
 
@@ -172,18 +187,28 @@ class SimpleCRFFrame:
 
     def set_connectivity(self, connectivity):
         self._invalidate()
+        if hasattr(connectivity, "matrix"):
+            nbr, lens = connectivity.matrix()
+            if nbr.shape[0] != self.num_nodes:
+                raise ValueError("Expected len(connectivity) to be {}".format(
+                    self.num_nodes))
+            self._nbr = nbr
+            self._lens = lens
+            return
         lists = (connectivity.tolist()
                  if hasattr(connectivity, "tolist") else connectivity)
         if len(lists) != self.num_nodes:
             raise ValueError("Expected len(connectivity) to be {}".format(
                 self.num_nodes))
-        self._edges = [list(map(int, l)) for l in lists]
+        from ..ops.graph import NodeConnectivity
+        self._nbr, self._lens = NodeConnectivity(lists).matrix()
 
     def get_connectivity(self):
-        return [list(l) for l in self._edges]
+        return [self._nbr[i, :self._lens[i]].tolist()
+                for i in range(self.num_nodes)]
 
     def connected_nodes(self, node):
-        return self._edges[node]
+        return self._nbr[node, :self._lens[node]].tolist()
 
     # -- unaries (simple-crf.cpp:34-55) --------------------------------------
 
@@ -227,14 +252,29 @@ class SimpleCRFFrame:
     # -- state ---------------------------------------------------------------
 
     def reset_inferred(self):
-        self._q = np.exp(-self._unaries)
+        # lazy: inference() computes exp(-unary) in-graph when every frame
+        # is in this state, so a streaming initialize();inference() cycle
+        # uploads nothing (simple-crf.cpp:153-157 semantics preserved)
+        self._q_mode = "unary"
+        self._q_stack = None
+
+    def _materialize_q(self):
+        if self._q_mode == "unary":
+            self._q = np.exp(-self._unaries)
+        elif self._q_mode == "device":
+            stack, idx = self._q_stack
+            self._q = self.parent_crf._download_stack(stack)[idx].copy()
+        self._q_mode = "host"
+        self._q_stack = None
+        return self._q
 
     def get_inferred(self):
-        return self._q.copy()
+        return self._materialize_q().copy()
 
     def normalize(self):
-        s = self._q.sum(axis=0, keepdims=True)
-        self._q = self._q / s
+        q = self._materialize_q()
+        s = q.sum(axis=0, keepdims=True)
+        self._q = q / s
 
     # -- pairwise energies (host-side singles for API parity) ----------------
 
@@ -288,6 +328,7 @@ class SimpleCRF:
         self._frames = OrderedDict()  # time -> frame
         self._next_time = 0
         self._cache = None  # device-side (nbr, yxmrgb, unaries) staging
+        self._dl_cache = None  # (device stack, host copy) of posteriors
 
     # params as properties, mirroring csimple_crf.pyx:248-302
     def _param_prop(name):  # noqa: N805
@@ -362,30 +403,58 @@ class SimpleCRF:
         for f in self._frames.values():
             f.reset_inferred()
 
+    def _download_stack(self, stack):
+        """Host copy of a device posterior stack, cached per stack object
+        (one [T, C, N] device->host transfer no matter how many frames
+        materialize from it)."""
+        if self._dl_cache is None or self._dl_cache[0] is not stack:
+            self._dl_cache = (stack, np.asarray(stack))
+        return self._dl_cache[1]
+
     def inference(self, max_iter):
+        """Mean-field inference over all frames as ONE device program
+        (N x infer_once, simple-crf.cpp:62-151).
+
+        Device-resident streaming: graph/unary staging is cached until a
+        frame mutates; posteriors live on device between calls (a repeat
+        inference continues from the device stack, an initialize() is
+        folded into the graph as exp(-unary)); nothing is copied back until
+        some frame's get_inferred() asks."""
         if not self._frames:
             return
         frames = list(self._frames.values())
         T, C, N = len(frames), self.num_classes, self.num_nodes
         if self._cache is None:
-            D = max(1, max(max((len(e) for e in f._edges), default=0)
-                           for f in frames))
+            D = max(1, max(int(f._nbr.shape[1]) for f in frames))
             nbr = np.full([T, N, D], -1, np.int32)
             for t, f in enumerate(frames):
-                for i, e in enumerate(f._edges):
-                    nbr[t, i, : len(e)] = e
+                nbr[t, :, : f._nbr.shape[1]] = f._nbr
             self._cache = (
                 jnp.asarray(nbr),
                 jnp.asarray(np.stack([f._yxmrgb for f in frames])),
                 jnp.asarray(np.stack([f._unaries for f in frames])),
             )
         nbr_d, yxmrgb_d, unaries_d = self._cache
-        q = np.stack([f._q for f in frames])
 
-        fn = _compiled_inference(T, C, N, int(nbr_d.shape[-1]))
-        out = np.asarray(fn(
-            jnp.asarray(q), unaries_d, yxmrgb_d, nbr_d,
-            jnp.asarray(self.params.as_array()),
-            jnp.asarray(self.compat_by_class), jnp.int32(max_iter)))
+        modes = {f._q_mode for f in frames}
+        from_unaries = modes == {"unary"}
+        if from_unaries:
+            q_in = unaries_d  # ignored by the from_unaries program
+        elif modes == {"device"} and all(
+                f._q_stack is not None
+                and f._q_stack[0] is frames[0]._q_stack[0]
+                and f._q_stack[1] == t for t, f in enumerate(frames)):
+            q_in = frames[0]._q_stack[0]  # continue from the device stack
+        else:
+            q_in = jnp.asarray(np.stack([f._materialize_q()
+                                         for f in frames]))
+
+        fn = _compiled_inference(T, C, N, int(nbr_d.shape[-1]),
+                                 from_unaries)
+        out = fn(q_in, unaries_d, yxmrgb_d, nbr_d,
+                 jnp.asarray(self.params.as_array()),
+                 jnp.asarray(self.compat_by_class), jnp.int32(max_iter))
+        self._dl_cache = None
         for t, f in enumerate(frames):
-            f._q = out[t]
+            f._q_mode = "device"
+            f._q_stack = (out, t)

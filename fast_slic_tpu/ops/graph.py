@@ -26,63 +26,155 @@ MAX_ADJ_NEIGHBORS = 12  # fast-slic.cpp:17
 
 
 class NodeConnectivity:
-    """API-parity wrapper over a neighbor-list graph (cfast_slic.pyx:330-351)."""
+    """API-parity wrapper over a neighbor-list graph (cfast_slic.pyx:330-351).
 
-    def __init__(self, neighbor_lists):
-        self._lists = [list(map(int, l)) for l in neighbor_lists]
+    Internally stores either python lists or a padded [K, D] matrix
+    (matrix form avoids per-edge python work on the CRF staging path —
+    ``models/crf.py`` consumes ``matrix()`` directly)."""
+
+    def __init__(self, neighbor_lists=None, matrix=None, lens=None):
+        if matrix is not None:
+            self._matrix = (np.asarray(matrix, np.int32),
+                            np.asarray(lens, np.int64))
+            self._lists = None
+        else:
+            self._lists = [list(map(int, l)) for l in neighbor_lists]
+            self._matrix = None
 
     @property
     def num_nodes(self):
-        return len(self._lists)
+        if self._lists is not None:
+            return len(self._lists)
+        return self._matrix[0].shape[0]
 
     def tolist(self):
+        if self._lists is None:
+            nbr, lens = self._matrix
+            self._lists = [nbr[i, :lens[i]].tolist()
+                           for i in range(nbr.shape[0])]
         return [list(l) for l in self._lists]
+
+    def matrix(self):
+        """(nbr [K, D] int32 padded with -1, lens [K]) — insertion order."""
+        if self._matrix is None:
+            lists = self._lists
+            K = len(lists)
+            lens = np.fromiter(map(len, lists), np.int64, count=K)
+            D = max(1, int(lens.max()) if K else 1)
+            nbr = np.full((K, D), -1, np.int32)
+            flat = np.fromiter((v for l in lists for v in l), np.int32,
+                               count=int(lens.sum()))
+            cols = np.arange(D)[None, :] < lens[:, None]
+            nbr[cols] = flat
+            self._matrix = (nbr, lens)
+        return self._matrix
 
 
 def adjacency(assignment: np.ndarray, K: int):
     """Neighbor lists from the label map (fast_slic_get_connectivity).
+    List-of-lists view of :func:`adjacency_matrix`."""
+    nbr, lens = adjacency_matrix(assignment, K)
+    return [nbr[i, :lens[i]].tolist() for i in range(K)]
+
+
+def adjacency_matrix(assignment: np.ndarray, K: int):
+    """Adjacency from the label map as (nbr [K, D] int32 padded -1,
+    lens [K]) in the reference's insertion order (fast_slic_get_connectivity,
+    fast-slic.cpp:16-78).
 
     For every pixel (i, j) with i < H-1, j < W-1, the reference examines the
     pairs (right, down, down-right) in row-major scan order and records each
     distinct label pair once, in both directions, skipping a pair if either
     endpoint already has 12 neighbors.  First-occurrence order is preserved
     so the cap drops exactly the same edges.
-    """
-    a = np.asarray(assignment).astype(np.int64)
-    a = np.where((a < 0) | (a >= K), K, a)  # out-of-range labels ignored
-    H, W = a.shape
-    lists = [[] for _ in range(K)]
-    if H < 2 or W < 2:
-        return lists
 
-    base = a[:-1, :-1]
-    cands = np.stack(
-        [
-            np.broadcast_to(base, base.shape),
-            a[:-1, 1:],   # +1
-            np.broadcast_to(base, base.shape),
-            a[1:, :-1],   # +W
-            np.broadcast_to(base, base.shape),
-            a[1:, 1:],    # +W+1
-        ],
-        axis=-1,
-    ).reshape(-1, 3, 2)          # [(H-1)(W-1), 3 dirs, (source, target)]
-    pairs = cands.reshape(-1, 2)  # scan order: pixel-major, then direction
-    valid = (pairs[:, 0] < K) & (pairs[:, 1] < K) & (pairs[:, 0] != pairs[:, 1])
-    pairs = pairs[valid]
+    Fully vectorized except the cap resolution: an edge both of whose
+    endpoints have TOTAL first-occurrence degree <= 12 can never be dropped
+    (rejections elsewhere only lower degrees), so only edges touching a
+    "hot" node (> 12 candidate edges — rare on SLIC graphs) walk the
+    sequential cap simulation.
+    """
+    a = np.asarray(assignment)
+    if a.dtype != np.int32:
+        a = a.astype(np.int64)
+    H, W = a.shape
+    if H < 2 or W < 2:
+        return np.full((K, 1), -1, np.int32), np.zeros(K, np.int64)
+    bad = (a < 0) | (a >= K)
+    if bad.any():
+        a = np.where(bad, K, a)  # out-of-range labels ignored
+
+    # boundary pairs per direction (right, down, down-right), then restore
+    # the reference's scan order — pixel-major, then direction — via a
+    # per-pair order key.  Only ~2% of pixel pairs cross a boundary, so
+    # compressing (int32, contiguous, flatnonzero) BEFORE any big
+    # materialization keeps this ~100x cheaper than stacking the full
+    # [(H-1)(W-1), 3, 2] candidate tensor.
+    base = np.ascontiguousarray(a[:-1, :-1])
+    base_flat = base.reshape(-1)
+    okbase = base < K
+    srcs, dsts, order_keys = [], [], []
+    for d, nb in enumerate((a[:-1, 1:], a[1:, :-1], a[1:, 1:])):
+        nbc = np.ascontiguousarray(nb)
+        idx = np.flatnonzero((base != nbc) & okbase & (nbc < K))
+        srcs.append(base_flat[idx])
+        dsts.append(nbc.reshape(-1)[idx])
+        order_keys.append(idx * np.int64(3) + d)
+    s = np.concatenate(srcs).astype(np.int64)
+    t = np.concatenate(dsts).astype(np.int64)
+    okey = np.concatenate(order_keys)
+    perm = np.argsort(okey, kind="stable")
+    s, t = s[perm], t[perm]
     # canonical undirected key; first-occurrence order via unique
-    lo = np.minimum(pairs[:, 0], pairs[:, 1])
-    hi = np.maximum(pairs[:, 0], pairs[:, 1])
-    key = lo * (K + 1) + hi
+    key = np.minimum(s, t) * (K + 1) + np.maximum(s, t)
     _, first_idx = np.unique(key, return_index=True)
     order = np.sort(first_idx)
-    for idx in order:
-        s, t = int(pairs[idx, 0]), int(pairs[idx, 1])
-        if len(lists[s]) >= MAX_ADJ_NEIGHBORS or len(lists[t]) >= MAX_ADJ_NEIGHBORS:
-            continue
-        lists[t].append(s)  # target first, then source (fast-slic.cpp:65-66)
-        lists[s].append(t)
-    return lists
+    s = s[order]
+    t = t[order]
+
+    occ = np.bincount(np.concatenate([s, t]), minlength=K)
+    hot = occ > MAX_ADJ_NEIGHBORS
+    accept = ~(hot[s] | hot[t])
+    if not accept.all():
+        # sequential cap simulation for the hot edges only.  A cold
+        # endpoint (total degree <= 12) can never be at the cap when
+        # checked, so only hot-node degrees are tracked — and every edge
+        # that can change a hot degree is in this set.
+        hd = {int(i): 0 for i in np.nonzero(hot)[0]}
+        for idx in np.nonzero(~accept)[0]:
+            ss, tt = int(s[idx]), int(t[idx])
+            ds = hd.get(ss)
+            dt = hd.get(tt)
+            if ((ds is not None and ds >= MAX_ADJ_NEIGHBORS)
+                    or (dt is not None and dt >= MAX_ADJ_NEIGHBORS)):
+                continue
+            accept[idx] = True
+            if ds is not None:
+                hd[ss] = ds + 1
+            if dt is not None:
+                hd[tt] = dt + 1
+
+    sa = s[accept]
+    ta = t[accept]
+    # directed insertion stream: target first, then source per edge
+    # (fast-slic.cpp:65-66)
+    owners = np.empty(2 * sa.shape[0], np.int64)
+    partners = np.empty_like(owners)
+    owners[0::2] = ta
+    partners[0::2] = sa
+    owners[1::2] = sa
+    partners[1::2] = ta
+    counts = np.bincount(owners, minlength=K)
+    D = max(1, int(counts.max()) if owners.size else 1)
+    perm = np.argsort(owners, kind="stable")
+    starts = np.zeros(K, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rank_sorted = np.arange(owners.shape[0]) - np.repeat(starts, counts)
+    ranks = np.empty(owners.shape[0], np.int64)
+    ranks[perm] = rank_sorted
+    nbr = np.full((K, D), -1, np.int32)
+    nbr[owners, ranks] = partners
+    return nbr, counts.astype(np.int64)
 
 
 def knn(clusters: Clusters, num_neighbors: int, shape):

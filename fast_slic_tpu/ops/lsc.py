@@ -60,7 +60,7 @@ def features(planes, cfg: StaticConfig, tables):
     """Per-pixel 10-D features + weights (map_image_into_feature_space,
     lsc.cpp:22-163).
 
-    planes: int32 [H, W, 3] quad image.  tables: trig LUTs from
+    planes: int32 [3, H, W] planar quad image.  tables: trig LUTs from
     :func:`trig_tables`.  Returns (feats f32 [H, W, 10], weights f32
     [H, W]).  Feature order: l1,l2,a1,a2,b1,b2,x1,x2,y1,y2.
     """
@@ -77,9 +77,9 @@ def features(planes, cfg: StaticConfig, tables):
             tables["color_cos"], tables["color_sin"])
         color_parts = [color6[..., i] for i in range(6)]
     else:
-        Lp = planes[..., 0]
-        Ap = planes[..., 1]
-        Bp = planes[..., 2]
+        Lp = planes[0]
+        Ap = planes[1]
+        Bp = planes[2]
         color_parts = [
             t["L_cos"][Lp], t["L_sin"][Lp],
             t["color_cos"][Ap], t["color_sin"][Ap],

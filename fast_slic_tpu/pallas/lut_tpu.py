@@ -95,15 +95,8 @@ def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
 _CB = tuple(tuple(int(v) for v in row) for row in cie._CB_NP)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def rgb_to_lab_pallas(image, interpret: bool | None = None):
-    """image uint8/int [H, W, 3] -> int32 [H, W, 3] LAB (color_shift=1).
-
-    Bit-identical to ops.cielab.rgb_to_lab_quantized, fused into one Pallas
-    pass (no serial gathers).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _lab_rows(image, interpret):
+    """Shared kernel invocation: [H, W, 3] image -> ([8, Np] LAB rows, n)."""
     H, W, _ = image.shape
     n = H * W
     tile = 8192
@@ -132,8 +125,37 @@ def rgb_to_lab_pallas(image, interpret: bool | None = None):
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.int32),
         interpret=interpret,
     )(jnp.asarray(srgb2d), jnp.asarray(lab2d), rows)
+    return out, n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rgb_to_lab_pallas(image, interpret: bool | None = None):
+    """image uint8/int [H, W, 3] -> int32 [H, W, 3] LAB (color_shift=1).
+
+    Bit-identical to ops.cielab.rgb_to_lab_quantized, fused into one Pallas
+    pass (no serial gathers).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W, _ = image.shape
+    out, n = _lab_rows(image, interpret)
     return jnp.stack([out[0, :n], out[1, :n], out[2, :n]],
                      axis=-1).reshape(H, W, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rgb_to_lab_planar(image, interpret: bool | None = None):
+    """image uint8/int [H, W, 3] -> int32 [3, H, W] LAB, channel-planar.
+
+    Same kernel as :func:`rgb_to_lab_pallas`; the planar layout makes the
+    unpack a row-slice + reshape (no [H, W, 3] interleave pass) and matches
+    the layout every downstream consumer wants (the padded [3, Hp, Wp]
+    kernel planes, the update kernel's separate channel vectors)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W, _ = image.shape
+    out, n = _lab_rows(image, interpret)
+    return out[:3, :n].reshape(3, H, W)
 
 
 def _lsc_feat_kernel(lcos_ref, lsin_ref, ccos_ref, csin_ref, rgb_ref,
@@ -171,24 +193,22 @@ def _lsc_feat_kernel(lcos_ref, lsin_ref, ccos_ref, csin_ref, rgb_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lsc_color_feats_pallas(planes, lcos, lsin, ccos, csin,
                            interpret: bool | None = None):
-    """planes int32 [H, W, 3] (quantized L, a, b) -> f32 [H, W, 6] LSC
-    color features, identical to gathering the 256-entry host tables
+    """planes int32 [3, H, W] planar (quantized L, a, b) -> f32 [H, W, 6]
+    LSC color features, identical to gathering the 256-entry host tables
     (ops/lsc.py features(); the XLA gather form executes serially at
     ~8 ns/element — ~100 ms for six lookups at 1080p)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    H, W, _ = planes.shape
+    _, H, W = planes.shape
     n = H * W
     tile = 4096   # 8192 exceeds scoped VMEM (three [128, tile] f32 one-hots
                   # + HIGHEST-precision matmul expansions live at once)
     n_tiles = -(-n // tile)
     Np = n_tiles * tile
 
-    flat = planes.astype(jnp.int32).reshape(n, 3)
+    flat = planes.astype(jnp.int32).reshape(3, n)
     rows = jnp.zeros((8, Np), jnp.int32)
-    rows = rows.at[0, :n].set(flat[:, 0])
-    rows = rows.at[1, :n].set(flat[:, 1])
-    rows = rows.at[2, :n].set(flat[:, 2])
+    rows = rows.at[:3, :n].set(flat)
 
     def t2d(t):
         return jnp.asarray(t, jnp.float32).reshape(2, _LO)

@@ -226,13 +226,13 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
         # cielab (local rows)
         if cfg.convert_to_lab:
             if jax.default_backend() == "tpu":
-                from ..pallas.lut_tpu import rgb_to_lab_pallas
-                planes_l = rgb_to_lab_pallas(img_l)
+                from ..pallas.lut_tpu import rgb_to_lab_planar
+                planes_l = rgb_to_lab_planar(img_l)
             else:
                 from ..ops.cielab import rgb_to_lab_quantized
-                planes_l = rgb_to_lab_quantized(img_l)
+                planes_l = jnp.moveaxis(rgb_to_lab_quantized(img_l), -1, 0)
         else:
-            planes_l = img_l.astype(jnp.int32)
+            planes_l = jnp.moveaxis(img_l.astype(jnp.int32), -1, 0)
 
         # cluster color re-seed: the owner shard of each center pixel
         # contributes, merged by psum (context.cpp:128-135)
@@ -241,7 +241,7 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
         owns = (cyi >= row0) & (cyi < row0 + Hl)
         ly = jnp.clip(cyi - row0, 0, Hl - 1)
         cols = [jax.lax.psum(
-            jnp.where(owns, planes_l[ly, cxi, c], 0), "space")
+            jnp.where(owns, planes_l[c, ly, cxi], 0), "space")
             for c in range(3)]
         st = Clusters(
             y=st.y, x=st.x,

@@ -225,9 +225,9 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
                lsc_feats=None, lsc_cent=None) -> AssignResult:
     """One assign() pass over all pixels (context.cpp:200-298 and variants).
 
-    planes: int32 [H, W, 3] quad image.  cand: [GH, GW, 9P] candidate ids.
-    rem/stride are static ints; rows with i % stride != rem keep their old
-    assignment (context.h:89-91).
+    planes: int32 [3, H, W] planar quad image.  cand: [GH, GW, 9P]
+    candidate ids.  rem/stride are static ints; rows with i % stride != rem
+    keep their old assignment (context.h:89-91).
     """
     H, W, S, K = cfg.H, cfg.W, cfg.S, cfg.K
     variant = cfg.variant
@@ -278,9 +278,9 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
             sp = coef * jnp.sqrt(_nofma(dif * dif) + _nofma(djf * djf))
         return inwin, sp
 
-    p0 = planes[..., 0]
-    p1 = planes[..., 1]
-    p2 = planes[..., 2]
+    p0 = planes[0]
+    p1 = planes[1]
+    p2 = planes[2]
 
     # Ties break by candidate slot index == reference visit order
     # (build_candidates sorts slots by visit_order_key).
@@ -415,14 +415,18 @@ def segment_sum_matmul(ids, vals, num_segments: int, max_val: int):
     return jnp.transpose(out)
 
 
-def _pad_planes_for_pallas(planes, cfg: StaticConfig, dtype=jnp.int32):
-    """[H, W, ch] -> [ch, Hp, Wp] padded for the 64-row strip kernels."""
+def _pad_planes_for_pallas(planes, cfg: StaticConfig, dtype=jnp.int32,
+                           planar: bool = True):
+    """[ch, H, W] (planar=True) or [H, W, ch] -> [ch, Hp, Wp] padded for
+    the 64-row strip kernels."""
     H, W = cfg.H, cfg.W
-    ch = planes.shape[-1]
+    if not planar:
+        planes = jnp.moveaxis(planes, -1, 0)
+    ch = planes.shape[0]
     Hp = -(-H // 64) * 64
     Wp = -(-W // 128) * 128
     p = jnp.zeros((ch, Hp, Wp), dtype)
-    return p.at[:, :H, :W].set(jnp.moveaxis(planes, -1, 0).astype(dtype))
+    return p.at[:, :H, :W].set(planes.astype(dtype))
 
 
 def _use_pallas_assign(cfg: StaticConfig) -> bool:
@@ -571,9 +575,9 @@ def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
         ).reshape(Hs, stride, W)
         a_sub = jax.lax.dynamic_index_in_dim(a3, rem, axis=1, keepdims=False)
         p3 = jnp.concatenate(
-            [planes, jnp.zeros((pad, W, 3), planes.dtype)], 0
-        ).reshape(Hs, stride, W, 3)
-        p_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=1, keepdims=False)
+            [planes, jnp.zeros((3, pad, W), planes.dtype)], 1
+        ).reshape(3, Hs, stride, W)
+        p_sub = jax.lax.dynamic_index_in_dim(p3, rem, axis=2, keepdims=False)
         mask = a_sub != UNASSIGNED
         if pixel_mask is not None:
             m3 = jnp.concatenate(
@@ -601,8 +605,8 @@ def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
                  else jnp.zeros((), jnp.int32))
         acc6 = slic_update_pallas(
             ids2, mask.astype(jnp.int32).ravel(),
-            p_eff[..., 0].ravel(), p_eff[..., 1].ravel(),
-            p_eff[..., 2].ravel(), rem_i, K, W, eff_stride, False)
+            p_eff[0].ravel(), p_eff[1].ravel(),
+            p_eff[2].ravel(), rem_i, K, W, eff_stride, False)
         acc = jnp.transpose(acc6)[:K]
     else:
         Hv = a_eff.shape[0]
@@ -612,7 +616,7 @@ def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
         ids = jnp.where(mask, a_eff, K).ravel()
         vals = jnp.stack(
             [mask.astype(jnp.int32), ii, jj,
-             p_eff[..., 0], p_eff[..., 1], p_eff[..., 2]], axis=-1,
+             p_eff[0], p_eff[1], p_eff[2]], axis=-1,
         ).reshape(-1, 6)
         acc = segment_sum_matmul(ids, vals, K, max(H, W, 256))[:K]
     return acc
@@ -621,7 +625,7 @@ def update_accumulate(planes, assignment, cfg: StaticConfig, rem, stride,
 def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
                                 stride: int, mask_sub=None):
     """update_accumulate for pre-sliced subsampled inputs (the resident-
-    subsampled loop): p_sub int32 [Hs, W, 3] (pad rows zero), a_sub int32
+    subsampled loop): p_sub int32 [3, Hs, W] (pad rows zero), a_sub int32
     [Hs, W] with pad/spacer rows already UNASSIGNED.  Row r is absolute
     image row r*stride + rem."""
     K, W = cfg.K, cfg.W
@@ -633,8 +637,8 @@ def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
         ids2 = jnp.where(a_sub != UNASSIGNED, a_sub, K).ravel()
         acc6 = slic_update_pallas(
             ids2, mask.astype(jnp.int32).ravel(),
-            p_sub[..., 0].ravel(), p_sub[..., 1].ravel(),
-            p_sub[..., 2].ravel(), jnp.asarray(rem, jnp.int32), K, W,
+            p_sub[0].ravel(), p_sub[1].ravel(),
+            p_sub[2].ravel(), jnp.asarray(rem, jnp.int32), K, W,
             stride, False)
         return jnp.transpose(acc6)[:K]
     Hs = a_sub.shape[0]
@@ -643,7 +647,7 @@ def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
     ids = jnp.where(mask, a_sub, K).ravel()
     vals = jnp.stack(
         [mask.astype(jnp.int32), ii, jj,
-         p_sub[..., 0], p_sub[..., 1], p_sub[..., 2]], axis=-1,
+         p_sub[0], p_sub[1], p_sub[2]], axis=-1,
     ).reshape(-1, 6)
     return segment_sum_matmul(ids, vals, K, max(cfg.H, W, 256))[:K]
 
@@ -779,31 +783,35 @@ def stage_setup(image, st: Clusters, cfg: StaticConfig,
     """cielab conversion + cluster color re-seed + LSC feature build +
     preemptive-grid init (context.cpp:114-157)."""
     H, W, K = cfg.H, cfg.W, cfg.K
+    # planes are CHANNEL-PLANAR int32 [3, H, W] throughout the pipeline:
+    # that is the layout the padded kernel planes, the update kernel's
+    # channel vectors and the oracle path all want, and it lets the LAB
+    # kernel's output unpack be a reshape instead of an interleave pass.
     if cfg.convert_to_lab:
         if jax.default_backend() == "tpu":
             # fused Pallas conversion: the XLA gather form executes its six
             # table lookups serially in composed programs (~48ms/720p frame)
-            from .pallas.lut_tpu import rgb_to_lab_pallas
-            planes = rgb_to_lab_pallas(image)
+            from .pallas.lut_tpu import rgb_to_lab_planar
+            planes = rgb_to_lab_planar(image)
         else:
-            planes = rgb_to_lab_quantized(image)
+            planes = jnp.moveaxis(rgb_to_lab_quantized(image), -1, 0)
     else:
-        planes = image.astype(jnp.int32)
+        planes = jnp.moveaxis(image.astype(jnp.int32), -1, 0)
 
     # re-seed cluster colors from the quad image (context.cpp:128-135).
-    # Flat 1-D indexing: the 2-D advanced-index form (planes[cy, cx, c])
+    # Flat 1-D indexing: the 2-D advanced-index form (planes[c, cy, cx])
     # lowers to a serial ~0.65 us/element gather on TPU (~25 ms at canvas
     # scale); the flat row gather runs at the ~8 ns/element serial rate.
     cyi = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
     cxi = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
-    seed_cols = planes.reshape(-1, 3)[cyi * W + cxi]
+    seed_cols = planes.reshape(3, -1)[:, cyi * W + cxi]
     # preemptive_grid.initialize (preemptive.h:59-67): runs regardless of the
     # `preemptive` flag — is_updatable is reset to the cooldown for everyone.
     st = Clusters(
         y=st.y, x=st.x,
-        r=seed_cols[:, 0].astype(jnp.float32),
-        g=seed_cols[:, 1].astype(jnp.float32),
-        b=seed_cols[:, 2].astype(jnp.float32),
+        r=seed_cols[0, :].astype(jnp.float32),
+        g=seed_cols[1, :].astype(jnp.float32),
+        b=seed_cols[2, :].astype(jnp.float32),
         num_members=st.num_members,
         is_active=st.is_active,
         is_updatable=jnp.full([K], _PREEMPTIVE_COOLDOWN, jnp.int32),
@@ -854,8 +862,8 @@ def _stage_loop_subresident(planes, st: Clusters, lsc_state,
 
     # per-rem loop-invariant slices (computed once, reused every iteration)
     p3_subs, fp3_subs, p_subs, mask3 = [], [], [], None
-    pv = jnp.concatenate([planes, jnp.zeros((pad, W, 3), planes.dtype)], 0
-                         ).reshape(Hs, stride, W, 3)
+    pv = jnp.concatenate([planes, jnp.zeros((3, pad, W), planes.dtype)], 1
+                         ).reshape(3, Hs, stride, W)
     for rem in range(stride):
         p3s, _ = _subsample_stack(planes3_padded, Hp, H, stride, rem, 0)
         p3_subs.append(p3s)
@@ -864,7 +872,7 @@ def _stage_loop_subresident(planes, st: Clusters, lsc_state,
             fp3_subs.append(fp3s)
         else:
             fp3_subs.append(None)
-        p_subs.append(pv[:, rem])
+        p_subs.append(pv[:, :, rem])
     Hsp = p3_subs[0].shape[1]
 
     # static row-validity masks: pad rows (absolute >= H) and canvas spacer
@@ -930,7 +938,8 @@ def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
     lsc_feats, lsc_w, lsc_cent = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
                       if _use_pallas_any(cfg) else None)
-    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
+                                           planar=False)
                     if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                     else None)
 
@@ -1017,7 +1026,8 @@ def stage_full_assign(planes, st: Clusters, lsc_state, lsc_cent, assignment,
     lsc_feats, lsc_w, _ = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
                       if _use_pallas_any(cfg) else None)
-    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
+                                           planar=False)
                     if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                     else None)
     # preemptive_grid.finalize (preemptive.h:69-74): everyone active again

@@ -60,11 +60,11 @@ def main():
     st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
     scal = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
     img_dev = jnp.asarray(image)
-    from fast_slic_tpu.pallas.lut_tpu import rgb_to_lab_pallas
+    from fast_slic_tpu.pallas.lut_tpu import rgb_to_lab_planar
 
     def upto(stage):
         def fn(image, st_):
-            planes = rgb_to_lab_pallas(image)
+            planes = rgb_to_lab_planar(image)
             if stage == "lab":
                 return planes
             p3 = pipeline._pad_planes_for_pallas(planes, cfg)
@@ -108,7 +108,7 @@ def main():
     # ---- loop ablations (each with lab+pad prefix; subtract that)
     def loop_mode(mode):
         def fn(image, st_):
-            planes = rgb_to_lab_pallas(image)
+            planes = rgb_to_lab_planar(image)
             p3 = pipeline._pad_planes_for_pallas(planes, cfg)
             asg = jnp.full([H, W], UNASSIGNED, jnp.int32)
             st_c = st_

@@ -33,7 +33,7 @@ def _setup_assign(rng, H, W, K, **cfgkw):
     cfg_p = StaticConfig(H=H, W=W, K=K, arch="pallas", **cfgkw)
     image = make_image(rng, H, W)
     st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
-    planes = jnp.asarray(image.astype(np.int32))
+    planes = jnp.moveaxis(jnp.asarray(image.astype(np.int32)), -1, 0)
     scal = pipeline.derive_scalars(cfg_x, 10.0, 0.1, 0.05)
     cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
     return cfg_x, cfg_p, planes, st, cand, scal
@@ -89,7 +89,7 @@ def test_assign_pallas_float_matches_xla(rng, variant, stride, rem):
     st = st.__class__(y=st.y + 0.37, x=st.x + 0.61, r=st.r, g=st.g, b=st.b,
                       num_members=st.num_members, is_active=st.is_active,
                       is_updatable=st.is_updatable)
-    planes = jnp.asarray(image.astype(np.int32))
+    planes = jnp.moveaxis(jnp.asarray(image.astype(np.int32)), -1, 0)
     scal = pipeline.derive_scalars(cfg_x, 10.0, 0.1, 0.05)
     cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
     old = jnp.full([H, W], UNASSIGNED, jnp.int32)
@@ -121,7 +121,8 @@ def test_assign_pallas_lsc_matches_xla(rng):
     ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old,
                               0, 1, lsc_feats, lsc_cent)
     p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
-    fp3 = pipeline._pad_planes_for_pallas(lsc_feats, cfg_p, jnp.float32)
+    fp3 = pipeline._pad_planes_for_pallas(lsc_feats, cfg_p, jnp.float32,
+                                          planar=False)
     got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
                                    old, 0, 1, lsc_feats, lsc_cent, fp3)
     np.testing.assert_array_equal(np.asarray(got.assignment),
@@ -173,6 +174,10 @@ def test_lab_pallas_matches_xla(rng):
     ref = np.asarray(rgb_to_lab_quantized(jnp.asarray(img)))
     got = np.asarray(rgb_to_lab_pallas(jnp.asarray(img), interpret=True))
     np.testing.assert_array_equal(got, ref)
+    # planar wrapper: same kernel, channel-planar [3, H, W] layout
+    from fast_slic_tpu.pallas.lut_tpu import rgb_to_lab_planar
+    got_p = np.asarray(rgb_to_lab_planar(jnp.asarray(img), interpret=True))
+    np.testing.assert_array_equal(got_p, np.moveaxis(ref, -1, 0))
 
 
 def test_propagate_min_pallas_matches_gather(rng):
@@ -249,8 +254,9 @@ def test_lsc_color_feats_pallas_matches_gather(rng):
     cfg = StaticConfig(H=94, W=130, K=32, variant="lsc")
     t = lsc_ops.trig_tables(cfg, 10.0)
     planes = rng.integers(0, 256, (94, 130, 3)).astype(np.int32)
+    planes_pl = np.moveaxis(planes, -1, 0)
     got = np.asarray(lsc_color_feats_pallas(
-        jnp.asarray(planes), t["L_cos"], t["L_sin"], t["color_cos"],
+        jnp.asarray(planes_pl), t["L_cos"], t["L_sin"], t["color_cos"],
         t["color_sin"], interpret=True))
     ref = np.stack(
         [t["L_cos"][planes[..., 0]], t["L_sin"][planes[..., 0]],
