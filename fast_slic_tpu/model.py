@@ -58,6 +58,11 @@ class SlicModel:
         self.convert_to_lab = False
         self.float_color = True
         self.debug_mode = False
+        # profile=True: per-iteration assign/update timer sections in
+        # last_timing_report (reference fstimer schema, context.cpp:158-175)
+        # without debug_mode's recorder snapshots (observability decoupled
+        # from the slower debug execution path)
+        self.profile = False
         self.preemptive = False
         self.preemptive_thres = 0.05
         self.manhattan_spatial_dist = True
@@ -145,6 +150,7 @@ class SlicModel:
                 preemptive_thres=float(self.preemptive_thres),
                 max_iter=int(max_iter),
             ),
+            profile=bool(self.profile),
         )
         self._clusters = final_clusters
         self.last_timing_report = report.timing_json

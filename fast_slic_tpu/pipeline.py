@@ -1131,6 +1131,117 @@ def compiled_phases(cfg: StaticConfig, max_iter: int, stride: int):
             jax.jit(f_cca))
 
 
+@functools.lru_cache(maxsize=16)
+def compiled_profile_phases(cfg: StaticConfig, stride: int):
+    """Per-iteration phase compilation for profile mode: separate jits for
+    setup, buffer prep, one assign pass, one update, LSC after_update, the
+    preemptive step, full_assign and CCA — so the runner can block between
+    them and report REAL per-iteration ``assign``/``update`` device
+    durations under the reference's section names
+    (src/context.cpp:112-194, src/timer.h:66-74).  ``rem`` is a traced
+    scalar, so all iterations share one executable per phase.  Outputs are
+    bit-identical to the fused program (same ops, split at phase
+    boundaries)."""
+
+    def f_setup(image, st, scalars):
+        return stage_setup(image, st, cfg, scalars)
+
+    def f_prep(planes, lsc_feats):
+        p3 = (_pad_planes_for_pallas(planes, cfg)
+              if _use_pallas_any(cfg) else None)
+        fp3 = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
+                                      planar=False)
+               if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
+               else None)
+        assignment = jnp.full([cfg.H, cfg.W], UNASSIGNED, jnp.int32)
+        return p3, fp3, assignment
+
+    def f_assign(planes, p3, fp3, st, lsc_feats, lsc_cent, assignment,
+                 scalars, rem):
+        coef = jnp.asarray(scalars.coef, jnp.float32)
+        st = _clamp_centers(st, cfg)
+        cand, cov = build_candidates(st.y, st.x, st.is_active, cfg)
+        res = assign_dispatch(planes, p3, st, cand, cfg, coef, assignment,
+                              rem, stride, lsc_feats, lsc_cent, fp3)
+        return st, _mask_spacer(res.assignment, cfg), cov
+
+    def f_update(planes, assignment, st, scalars, rem, pixel_mask):
+        return update_xla(planes, assignment, st, cfg, rem, stride,
+                          pixel_mask if cfg.preemptive else None)
+
+    def f_after(lsc_feats, lsc_w, st, lsc_cent, rem, assignment,
+                pixel_mask):
+        return lsc_ops.after_update(
+            lsc_feats, lsc_w, st, lsc_cent, cfg, rem, stride, assignment,
+            pixel_mask if cfg.preemptive else None)
+
+    def f_preempt(st, old_y, old_x, scalars):
+        return _preemptive_step(st, old_y, old_x, cfg,
+                                jnp.asarray(scalars.l1_thres, jnp.float32))
+
+    def f_full(planes, p3, fp3, st, lsc_feats, lsc_w, lsc_cent, assignment,
+               scalars):
+        return stage_full_assign(planes, st, (lsc_feats, lsc_w, None),
+                                 lsc_cent, assignment, cfg, scalars)
+
+    def f_cca(assignment, scalars):
+        return stage_cca(assignment, cfg, scalars)
+
+    return dict(setup=jax.jit(f_setup), prep=jax.jit(f_prep),
+                assign=jax.jit(f_assign), update=jax.jit(f_update),
+                after=jax.jit(f_after), preempt=jax.jit(f_preempt),
+                full=jax.jit(f_full), cca=jax.jit(f_cca))
+
+
+def run_iterate_profiled(cfg: StaticConfig, image, st: Clusters,
+                         scalars: DerivedScalars, max_iter: int,
+                         stride: int, timer):
+    """Execute iterate() with PER-ITERATION ``assign``/``update`` (and
+    ``after_update``) timer sections mirroring the reference's fstimer
+    scopes (context.cpp:158-175) — decoupled from debug_mode (no recorder
+    snapshots, no phase-blind default report).  Bit-identical outputs to
+    iterate_graph.  Durations are host-observed around block_until_ready;
+    on a locally attached TPU they are device phase durations (on the dev
+    tunnel each sync adds the tunnel round-trip)."""
+    fns = compiled_profile_phases(cfg, int(stride))
+    block = jax.block_until_ready
+    with timer.scope("cielab_conversion"):
+        planes, st, lsc_state = block(fns["setup"](image, st, scalars))
+    lsc_feats, lsc_w, lsc_cent = lsc_state
+    with timer.scope("write_to_buffer"):
+        p3, fp3, assignment = block(fns["prep"](planes, lsc_feats))
+    pixel_mask = jnp.ones([cfg.H, cfg.W], bool)
+    cov_np = False
+    for i in range(max_iter):
+        rem = jnp.int32(i % stride)
+        with timer.scope("assign"):
+            st, assignment, cov = block(fns["assign"](
+                planes, p3, fp3, st, lsc_feats, lsc_cent, assignment,
+                scalars, rem))
+        cov_np = cov_np or bool(np.asarray(cov))
+        old_y, old_x = st.y, st.x
+        with timer.scope("update"):
+            st = block(fns["update"](planes, assignment, st, scalars, rem,
+                                     pixel_mask))
+        if cfg.variant == VARIANT_LSC:
+            with timer.scope("after_update"):
+                lsc_cent = block(fns["after"](
+                    lsc_feats, lsc_w, st, lsc_cent, rem, assignment,
+                    pixel_mask))
+        if cfg.preemptive:
+            st, pixel_mask = block(fns["preempt"](st, old_y, old_x,
+                                                  scalars))
+    with timer.scope("full_assign"):
+        st, assignment, min_dists, cov = block(fns["full"](
+            planes, p3, fp3, st, lsc_feats, lsc_w, lsc_cent, assignment,
+            scalars))
+    cov_np = cov_np or bool(np.asarray(cov))
+    with timer.scope("enforce_connectivity"):
+        labels, cca_tie = block(fns["cca"](assignment, scalars))
+    return IterateOut(labels, st, min_dists, None, assignment, cca_tie,
+                      jnp.bool_(cov_np))
+
+
 def run_iterate_phased(cfg: StaticConfig, image, st: Clusters,
                        scalars: DerivedScalars, max_iter: int, stride: int,
                        timer):

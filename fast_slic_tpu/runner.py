@@ -25,12 +25,19 @@ class Report(NamedTuple):
 
 
 def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
-                params: RuntimeParams, _escalation: int = 0):
+                params: RuntimeParams, _escalation: int = 0,
+                profile: bool = False):
     """Execute iterate(); returns (labels int16 np [H,W], Clusters, Report).
 
     If the pipeline flags candidate-capacity overflow (clusters crowding a
     cell beyond cell_capacity / cand_slots — possible only with extreme
     centroid drift), re-runs with 4x capacity, up to two escalations.
+
+    ``profile=True`` (slic_model.profile) runs the per-iteration
+    phase-split program: the timing report carries one ``assign`` /
+    ``update`` (/ ``after_update``) section per iteration like the
+    reference's fstimer output (src/context.cpp:158-175) — decoupled from
+    debug_mode, no recorder snapshots.
     """
     timer = Timer()
     recorder_json = ""
@@ -38,7 +45,13 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
         scalars = pipeline.derive_scalars(
             cfg, params.compactness, params.min_size_factor,
             params.preemptive_thres)
-        if cfg.debug_mode:
+        if profile and not cfg.debug_mode:
+            with timer.scope("execute"):
+                out = pipeline.run_iterate_profiled(
+                    cfg, image, jax.tree.map(jax.numpy.asarray, clusters),
+                    scalars, params.max_iter, params.subsample_stride,
+                    timer)
+        elif cfg.debug_mode:
             # phase-split execution: real per-phase device durations under
             # the reference's timing schema (src/context.cpp:112-194), at
             # the cost of a host sync per phase
@@ -66,7 +79,7 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
                 cand_slots=min(9 * cfg.cell_capacity * 2, 48),
             )
             return run_iterate(bigger, image, clusters, params,
-                               _escalation + 1)
+                               _escalation + 1, profile=profile)
         with timer.scope("write_back"):
             st_dev, snaps = out.clusters, out.snaps
             labels = np.asarray(out.labels).astype(np.int16)

@@ -172,3 +172,31 @@ def test_knn_native_matches_python_spec(rng):
     st.x[:] = rng.uniform(0, W, K).astype(np.float32)
     for m in (1, 4, 12):
         assert graph.knn(st, m, (H, W)) == graph.knn_python(st, m, (H, W))
+
+
+def test_profile_timing_report(image_factory):
+    """slic_model.profile=True: per-iteration assign/update sections in the
+    timing report (reference fstimer schema, context.cpp:158-175), with
+    bit-identical labels to the default fused program."""
+    import json
+    from fast_slic_tpu import Slic
+
+    image = image_factory(48, 64)
+    s1 = Slic(num_components=12, min_size_factor=0.1)
+    ref = s1.iterate(image, max_iter=4)
+
+    s2 = Slic(num_components=12, min_size_factor=0.1)
+    s2.slic_model.profile = True
+    got = s2.iterate(image, max_iter=4)
+    np.testing.assert_array_equal(got, ref)
+
+    rep = json.loads(s2.slic_model.last_timing_report)
+    assert rep["name"] == "iterate"
+    exe = [c for c in rep["children"] if c["name"] == "execute"][0]
+    names = [c["name"] for c in exe["children"]]
+    assert names.count("assign") == 4
+    assert names.count("update") == 4
+    for want in ("cielab_conversion", "write_to_buffer", "full_assign",
+                 "enforce_connectivity"):
+        assert want in names, names
+    assert all(isinstance(c.get("duration"), int) for c in exe["children"])
