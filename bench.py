@@ -327,7 +327,13 @@ def main():
     single = bench_single(H, W, K, max_iter, stride, arch, reps)
     batched = bench_batched(B, H, W, K, max_iter, stride, arch,
                             max(3, reps // 2))
-    extras = {}
+    extras = dict(getattr(bench_batched, "swap_stats", {}))
+    try:
+        # permanent TPU-compiled parity record (Mosaic kernels vs XLA
+        # oracle vs host CCA on this run's hardware)
+        extras["parity"] = bench_parity(H, W, K, max_iter, stride)
+    except Exception as e:
+        extras["parity_error"] = str(e)[:200]
     if os.environ.get("FSTPU_BENCH_CONFIGS", "1") != "0":
         # the full BASELINE.md config matrix (ms per frame/window)
         try:

@@ -329,6 +329,7 @@ class SimpleCRF:
         self._next_time = 0
         self._cache = None  # device-side (nbr, yxmrgb, unaries) staging
         self._dl_cache = None  # (device stack, host copy) of posteriors
+        self._param_cache = None  # device copies of params/compat/max_iter
 
     # params as properties, mirroring csimple_crf.pyx:248-302
     def _param_prop(name):  # noqa: N805
@@ -449,11 +450,21 @@ class SimpleCRF:
             q_in = jnp.asarray(np.stack([f._materialize_q()
                                          for f in frames]))
 
+        # device copies of the scalar-ish inputs are cached: a streaming
+        # loop must not pay a host->device transfer per call for params
+        # that did not change
+        pa = self.params.as_array()
+        key = (pa.tobytes(), self.compat_by_class.tobytes(), int(max_iter))
+        if self._param_cache is None or self._param_cache[0] != key:
+            self._param_cache = (key, jnp.asarray(pa),
+                                 jnp.asarray(self.compat_by_class),
+                                 jnp.int32(max_iter))
+        _, params_d, compat_d, max_iter_d = self._param_cache
+
         fn = _compiled_inference(T, C, N, int(nbr_d.shape[-1]),
                                  from_unaries)
-        out = fn(q_in, unaries_d, yxmrgb_d, nbr_d,
-                 jnp.asarray(self.params.as_array()),
-                 jnp.asarray(self.compat_by_class), jnp.int32(max_iter))
+        out = fn(q_in, unaries_d, yxmrgb_d, nbr_d, params_d, compat_d,
+                 max_iter_d)
         self._dl_cache = None
         for t, f in enumerate(frames):
             f._q_mode = "device"

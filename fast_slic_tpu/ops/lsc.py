@@ -157,40 +157,19 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
         row_ok = (ii % stride) == rem
         feats_s, weights_s, asg_s = feats, weights, assignment
         pm_s = (row_ok if pixel_mask is None else (row_ok & pixel_mask))
-    mask = asg_s != UNASSIGNED
-    if pm_s is not None:
-        mask = mask & pm_s
-    # masked pixels keep their (valid) id so the band guard stays tight;
-    # never-assigned pixels go to the dropped bin K
-    ids = jnp.where(asg_s != UNASSIGNED, asg_s, K).ravel()
-
     # w-weighted feature sums per cluster (TPU scatters serialize; the
     # unguarded one-hot einsum costs ~7 ms/iteration at 1080p).
     # Accumulation is f32 like the reference's thread-local float
     # accumulators (lsc.cpp:245-297).
-    wf = jnp.concatenate(
-        [(feats_s * weights_s[..., None]).reshape(-1, 10),
-         weights_s.reshape(-1, 1)], axis=1)
-    if jax.default_backend() == "tpu":
-        from ..pallas.segsum_tpu import float_segsum_pallas
-        acc11 = jnp.transpose(float_segsum_pallas(
-            ids, mask.astype(jnp.int32).ravel(), jnp.transpose(wf), K,
-            False))
-    else:
-        wf = wf * mask.astype(jnp.float32).ravel()[:, None]
-        ids_m = jnp.where(mask.ravel(), ids, K)
-        tile = 4096
-        N = wf.shape[0]
-        n_tiles = -(-N // tile)
-        pad = n_tiles * tile - N
-        ids_p = jnp.concatenate([ids_m, jnp.full([pad], K, ids.dtype)])
-        wf_p = jnp.concatenate([wf, jnp.zeros([pad, 11], wf.dtype)])
-        oh = (ids_p.reshape(n_tiles, tile)[..., None]
-              == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
-        acc11 = jnp.einsum("btk,btv->kv", oh,
-                           wf_p.reshape(n_tiles, tile, 11),
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    acc11 = after_update_acc(feats_s, weights_s, asg_s, pm_s, K)
+    return after_update_apply(acc11, st, cent)
+
+
+def after_update_apply(acc11, st: Clusters, cent):
+    """The means half of after_update: centroid = weighted sums / weight
+    sums for updatable clusters (lsc.cpp:299-307).  Spatial shards psum
+    their local acc11 [K+1, 11] first."""
+    K = st.K
     acc = acc11[:K, :10]
     wsum = acc11[:K, 10]
 
@@ -198,3 +177,118 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
     base = jnp.where(upd[:, None], acc, cent)
     denom = jnp.where(upd, wsum, 1.0)
     return base / denom[:, None]
+
+
+def after_update_acc(feats_s, weights_s, asg_s, pm_s, K: int):
+    """The reduction half of after_update for pre-sliced local inputs:
+    f32 [K+1, 11] weighted feature sums (+ weight sums) of this array's
+    pixels.  Spatial shards psum and then call after_update_apply — the
+    collective analog of the reference's thread-local float accumulators +
+    critical merge (lsc.cpp:245-297)."""
+    mask = asg_s != UNASSIGNED
+    if pm_s is not None:
+        mask = mask & pm_s
+    ids = jnp.where(asg_s != UNASSIGNED, asg_s, K).ravel()
+    wf = jnp.concatenate(
+        [(feats_s * weights_s[..., None]).reshape(-1, 10),
+         weights_s.reshape(-1, 1)], axis=1)
+    if jax.default_backend() == "tpu":
+        from ..pallas.segsum_tpu import float_segsum_pallas
+        return jnp.transpose(float_segsum_pallas(
+            ids, mask.astype(jnp.int32).ravel(), jnp.transpose(wf), K,
+            False))
+    wf = wf * mask.astype(jnp.float32).ravel()[:, None]
+    ids_m = jnp.where(mask.ravel(), ids, K)
+    tile = 4096
+    N = wf.shape[0]
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    ids_p = jnp.concatenate([ids_m, jnp.full([pad], K, ids.dtype)])
+    wf_p = jnp.concatenate([wf, jnp.zeros([pad, 11], wf.dtype)])
+    oh = (ids_p.reshape(n_tiles, tile)[..., None]
+          == jnp.arange(K + 1, dtype=ids.dtype)).astype(jnp.float32)
+    return jnp.einsum("btk,btv->kv", oh, wf_p.reshape(n_tiles, tile, 11),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def features_sharded(planes_l, cfg: StaticConfig, tables, row0, Hl: int,
+                     axis_name: str, n_shards: int):
+    """Row-sharded :func:`features`: planes_l int32 [3, Hl, W] holds GLOBAL
+    rows [row0, row0+Hl); the image-mean feature (lsc.cpp:138-150) is a
+    psum of local sums.  Agreement with the single-device path is
+    tolerance-level (f32 reduction order differs), matching the LSC parity
+    contract."""
+    H, W = cfg.H, cfg.W
+    t = {k: jnp.asarray(v) for k, v in tables.items()}
+    ones = jnp.ones([Hl, W], jnp.float32)
+    if jax.default_backend() == "tpu":
+        from ..pallas.lut_tpu import lsc_color_feats_pallas
+        color6 = lsc_color_feats_pallas(
+            planes_l, tables["L_cos"], tables["L_sin"],
+            tables["color_cos"], tables["color_sin"])
+        color_parts = [color6[..., i] for i in range(6)]
+    else:
+        Lp, Ap, Bp = planes_l[0], planes_l[1], planes_l[2]
+        color_parts = [
+            t["L_cos"][Lp], t["L_sin"][Lp],
+            t["color_cos"][Ap], t["color_sin"][Ap],
+            t["color_cos"][Bp], t["color_sin"][Bp],
+        ]
+    h_cos = jax.lax.dynamic_slice(t["h_cos"], (row0,), (Hl,))
+    h_sin = jax.lax.dynamic_slice(t["h_sin"], (row0,), (Hl,))
+    feats = jnp.stack(
+        color_parts + [
+            t["w_cos"][None, :] * ones,
+            t["w_sin"][None, :] * ones,
+            h_cos[:, None] * ones,
+            h_sin[:, None] * ones,
+        ],
+        axis=-1,
+    )
+    local_sum = jnp.sum(feats.reshape(-1, 10), axis=0)
+    mean_f = jax.lax.psum(local_sum, axis_name) / jnp.float32(H * W)
+    weights = feats @ mean_f
+    feats = feats / weights[..., None]
+    return feats, weights
+
+
+def seed_centroids_sharded(feats_l, st: Clusters, cfg: StaticConfig, row0,
+                           Hl: int, axis_name: str, n_shards: int):
+    """Row-sharded :func:`seed_centroids`: the S/4 windows cross shard
+    seams, so each shard extends its slab with r halo rows exchanged by
+    ppermute (zeros at the global edges — exactly the reduce_window
+    zero-padding of the single-device path), computes valid-row window
+    sums, and the owner shard of each center contributes its value,
+    merged by psum."""
+    H, W, S = cfg.H, cfg.W, cfg.S
+    r = S // 4
+    d = jax.lax.axis_index(axis_name)
+    up = [(i, i + 1) for i in range(n_shards - 1)]
+    down = [(i + 1, i) for i in range(n_shards - 1)]
+    if r > 0:
+        above = jax.lax.ppermute(feats_l[-r:], axis_name, up)
+        below = jax.lax.ppermute(feats_l[:r], axis_name, down)
+        above = jnp.where(d > 0, above, jnp.zeros_like(above))
+        below = jnp.where(d < n_shards - 1, below, jnp.zeros_like(below))
+        ext = jnp.concatenate([above, feats_l, below], axis=0)
+    else:
+        ext = feats_l
+    win = jax.lax.reduce_window(
+        ext, 0.0, jax.lax.add,
+        window_dimensions=(2 * r + 1, 2 * r + 1, 1),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (r, r), (0, 0)),
+    )  # [Hl, W, 10]
+    # clamped-window counts in closed form (== reduce_window of ones)
+    cy = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
+    cx = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
+    rows_in = (jnp.minimum(cy + r, H - 1) - jnp.maximum(cy - r, 0) + 1)
+    cols_in = (jnp.minimum(cx + r, W - 1) - jnp.maximum(cx - r, 0) + 1)
+    counts = (rows_in * cols_in).astype(jnp.float32)
+    owns = (cy >= row0) & (cy < row0 + Hl)
+    ly = jnp.clip(cy - row0, 0, Hl - 1)
+    picked = jnp.where(owns[:, None],
+                       win.reshape(-1, 10)[ly * W + cx], 0.0)
+    total = jax.lax.psum(picked, axis_name)
+    return total / jnp.maximum(counts, 1.0)[:, None]

@@ -46,17 +46,25 @@ def _compiled_spatial(cfg: StaticConfig, max_iter: int, stride: int, mesh):
 
 
 class ShardedSlic:
-    """Single-image SLIC with rows sharded over the mesh's `space` axis."""
+    """Single-image SLIC with rows sharded over the mesh's `space` axis.
+
+    ``iterate`` returns numpy int16 labels with -1 for unassigned, exactly
+    like ``Slic.iterate`` (the single-frame API contract)."""
 
     def __init__(self, num_components=400, compactness=10.0,
                  min_size_factor=0.25, subsample_stride=3,
-                 convert_to_lab=True, arch="xla", mesh: Mesh | None = None):
+                 convert_to_lab=True, variant="standard", arch="xla",
+                 preemptive=False, preemptive_thres=0.05,
+                 mesh: Mesh | None = None):
         self.num_components = num_components
         self.compactness = compactness
         self.min_size_factor = min_size_factor
         self.subsample_stride = subsample_stride
         self.convert_to_lab = convert_to_lab
+        self.variant = variant
         self.arch = arch
+        self.preemptive = preemptive
+        self.preemptive_thres = preemptive_thres
         self.mesh = mesh if mesh is not None else make_mesh(space=None, data=1)
         self._state = None
 
@@ -64,7 +72,9 @@ class ShardedSlic:
         image = np.ascontiguousarray(image, np.uint8)
         H, W, _ = image.shape
         cfg = StaticConfig(H=H, W=W, K=self.num_components, arch=self.arch,
-                           convert_to_lab=self.convert_to_lab)
+                           variant=self.variant,
+                           convert_to_lab=self.convert_to_lab,
+                           preemptive=self.preemptive)
         if self._state is None:
             self._state = jax.tree.map(
                 jnp.asarray,
@@ -72,7 +82,7 @@ class ShardedSlic:
         fn = _compiled_spatial(cfg, int(max_iter),
                                int(self.subsample_stride), self.mesh)
         scalars = derive_scalars(cfg, self.compactness, self.min_size_factor,
-                                 0.05)
+                                 self.preemptive_thres)
         labels, state, tie, ovf, raw = fn(jnp.asarray(image), self._state,
                                           scalars)
         if bool(np.asarray(ovf)):
@@ -88,7 +98,7 @@ class ShardedSlic:
             lab16, st, _ = run_iterate(cfg, image, jax.tree.map(
                 np.asarray, self._state), params)
             self._state = jax.tree.map(jnp.asarray, st)
-            return jnp.asarray(lab16.astype(np.int32))
+            return lab16
         if bool(np.asarray(tie)):
             # CCA top-K boundary-area tie: bit-parity host re-run
             # (ops/cca.py docstring, runner.py:60-82)
@@ -103,8 +113,9 @@ class ShardedSlic:
                 fixed = np.asarray(enforce_connectivity_xla(
                     jnp.asarray(raw_np.astype(np.int32)), cfg.K,
                     jnp.int32(int(scalars.thres))))
-            out = fixed.astype(np.int32)
+            out = fixed.astype(np.int16)
             out[fixed == UNASSIGNED] = -1
-            labels = jnp.asarray(out)
+            self._state = state
+            return out
         self._state = state
-        return labels
+        return np.asarray(labels).astype(np.int16)

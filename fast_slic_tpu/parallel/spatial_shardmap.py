@@ -252,15 +252,32 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
             is_updatable=jnp.full([K], pipeline._PREEMPTIVE_COOLDOWN,
                                   jnp.int32))
 
+        # LSC feature space (sharded: psum'd image mean, halo'd centroid
+        # seeding; ops/lsc.py features_sharded/seed_centroids_sharded)
+        from ..ops import lsc as lsc_ops
+        from ..config import VARIANT_LSC as _LSC
+        lsc_feats_l = lsc_w_l = lsc_cent0 = fp3_l = None
+        if cfg.variant == _LSC:
+            lsc_feats_l, lsc_w_l = lsc_ops.features_sharded(
+                planes_l, cfg, scalars.lsc_tables, row0, Hl, "space", D)
+            lsc_cent0 = lsc_ops.seed_centroids_sharded(
+                lsc_feats_l, st, cfg, row0, Hl, "space", D)
+            if pipeline._use_pallas_any(cfg_local):
+                fp3_l = pipeline._pad_planes_for_pallas(
+                    lsc_feats_l, cfg_local, jnp.float32, planar=False)
+
         p3_l = (pipeline._pad_planes_for_pallas(planes_l, cfg_local)
                 if pipeline._use_pallas_any(cfg_local) else None)
         assignment = jnp.full([Hl, W], UNASSIGNED, jnp.int32)
         rems = jnp.array([i % stride for i in range(max_iter)], jnp.int32)
+        ii_l = jax.lax.broadcasted_iota(jnp.int32, (Hl, W), 0)
 
-        def one_assign(st_g, asg, rem, stride_i):
+        def one_assign(st_g, asg, rem, stride_i, lsc_cent):
             """One gather-assign over the local rows: clusters shifted into
             local coordinates; out-of-range clusters deactivated (their
-            windows cannot reach this slab)."""
+            windows cannot reach this slab).  Returns the CLAMPED global
+            state too (the single-device loop carries the clamped state,
+            context.cpp:209-212)."""
             st_g = pipeline._clamp_centers(st_g, cfg)
             in_range = ((st_g.y >= row0 - S - 1)
                         & (st_g.y < row0 + Hl + S + 1))
@@ -275,32 +292,60 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
             rem_l = jnp.mod(rem - row0, stride_i)
             res = pipeline.assign_dispatch(
                 planes_l, p3_l, st_l, cand, cfg_local, coef, asg, rem_l,
-                stride_i)
-            return res.assignment, res.min_dists, cov
+                stride_i, lsc_feats_l, lsc_cent, fp3_l)
+            return res.assignment, res.min_dists, cov, st_g
 
         def loop_body(carry, rem):
-            st_c, asg, cov_acc = carry
-            asg, _, cov = one_assign(st_c, asg, rem, stride)
+            st_c, asg, cov_acc, pixel_mask, lsc_cent = carry
+            asg, _, cov, st_c = one_assign(st_c, asg, rem, stride,
+                                           lsc_cent)
             cov_acc = cov_acc | cov
             rem_l = jnp.mod(rem - row0, stride)
+            old_y, old_x = st_c.y, st_c.x  # set_old_clusters
+            pm_l = None
+            if cfg.preemptive:
+                # the preemptive mask is computed replicated at global
+                # resolution ([K]-level nearness + cell expansion); each
+                # shard slices its rows
+                pm_l = jax.lax.dynamic_slice(pixel_mask, (row0, 0),
+                                             (Hl, W))
             acc_l = pipeline.update_accumulate(planes_l, asg, cfg_local,
-                                               rem_l, stride)
+                                               rem_l, stride, pm_l)
             # local row sums -> global: sum_i(global) = sum_i(local) +
             # count * row0; then ONE psum merges the shards
             acc_l = acc_l.at[:, 1].add(acc_l[:, 0] * row0)
             acc = jax.lax.psum(acc_l, "space")
             st_c = pipeline.update_apply_means(acc, st_c, cfg)
-            return (st_c, asg, cov_acc), None
+            if cfg.variant == _LSC:
+                row_ok = (ii_l % stride) == rem_l
+                pm_s = row_ok if pm_l is None else (row_ok & pm_l)
+                acc11 = lsc_ops.after_update_acc(
+                    lsc_feats_l, lsc_w_l, asg, pm_s, K)
+                acc11 = jax.lax.psum(acc11, "space")
+                lsc_cent = lsc_ops.after_update_apply(acc11, st_c,
+                                                      lsc_cent)
+            if cfg.preemptive:
+                st_c, pixel_mask = pipeline._preemptive_step(
+                    st_c, old_y, old_x, cfg,
+                    jnp.asarray(scalars.l1_thres, jnp.float32))
+            return (st_c, asg, cov_acc, pixel_mask, lsc_cent), None
 
-        (st, assignment, cand_overflow), _ = jax.lax.scan(
-            loop_body, (st, assignment, jnp.bool_(False)), rems)
+        pixel_mask0 = jnp.ones([H, W], bool)
+        lsc_carry0 = (lsc_cent0 if lsc_cent0 is not None
+                      else jnp.zeros([K, 10], jnp.float32))
+        (st, assignment, cand_overflow, _, lsc_cent), _ = jax.lax.scan(
+            loop_body,
+            (st, assignment, jnp.bool_(False), pixel_mask0, lsc_carry0),
+            rems)
 
+        # preemptive_grid.finalize: everyone active again
         st = Clusters(y=st.y, x=st.x, r=st.r, g=st.g, b=st.b,
                       num_members=st.num_members,
                       is_active=jnp.ones([K], jnp.int32),
                       is_updatable=st.is_updatable)
-        assignment, min_dists, cov = one_assign(st, assignment,
-                                                jnp.int32(0), 1)
+        assignment, min_dists, cov, st = one_assign(st, assignment,
+                                                    jnp.int32(0), 1,
+                                                    lsc_cent)
         cand_overflow = cand_overflow | cov
 
         labels_l, tie = _enforce_connectivity_spatial(
@@ -321,18 +366,22 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
 
 class ShardedSlicExplicit:
     """Single-image SLIC with rows sharded over the ``space`` axis using
-    hand-written collectives (ppermute halos + psum reductions).  Exact
-    match with the single-device pipeline; quantized variants, preemptive
-    off (use parallel/spatial.py's GSPMD path otherwise)."""
+    hand-written collectives (ppermute halos + psum reductions).  Covers
+    every variant (standard/real/real_l2/real_noq/lsc, the reference's
+    row parallelism covers them uniformly, context-impl.cpp:15-24 +
+    lsc-builder.cpp:49-64) and the preemptive grid.  Exact match with the
+    single-device pipeline for the non-LSC variants; LSC agrees at
+    tolerance level (the psum'd image-mean feature's f32 reduction order
+    differs from the single-device mean).
+
+    ``iterate`` returns numpy int16 labels with -1 for unassigned, exactly
+    like ``Slic.iterate`` (the single-frame API contract)."""
 
     def __init__(self, num_components=400, compactness=10.0,
                  min_size_factor=0.25, subsample_stride=3,
                  convert_to_lab=True, variant="standard", arch="xla",
+                 preemptive=False, preemptive_thres=0.05,
                  mesh: Mesh | None = None):
-        if variant in (VARIANT_REAL_NOQ, VARIANT_LSC):
-            raise NotImplementedError(
-                "explicit spatial sharding supports quantized-centroid "
-                "variants (standard/real/real_l2)")
         self.num_components = num_components
         self.compactness = compactness
         self.min_size_factor = min_size_factor
@@ -340,6 +389,8 @@ class ShardedSlicExplicit:
         self.convert_to_lab = convert_to_lab
         self.variant = variant
         self.arch = arch
+        self.preemptive = preemptive
+        self.preemptive_thres = preemptive_thres
         self.mesh = mesh if mesh is not None else make_mesh(space=None,
                                                             data=1)
         self._state = None
@@ -353,7 +404,12 @@ class ShardedSlicExplicit:
                              "axis (%d devices)" % (H, D))
         cfg = StaticConfig(H=H, W=W, K=self.num_components,
                            variant=self.variant, arch=self.arch,
-                           convert_to_lab=self.convert_to_lab)
+                           convert_to_lab=self.convert_to_lab,
+                           preemptive=self.preemptive)
+        if self.variant == VARIANT_LSC and (cfg.S // 4) >= H // D:
+            raise ValueError(
+                "LSC centroid seeding window (S/4 = %d rows) must fit in "
+                "one shard's slab (%d rows)" % (cfg.S // 4, H // D))
         if self._state is None:
             self._state = jax.tree.map(
                 jnp.asarray,
@@ -362,18 +418,26 @@ class ShardedSlicExplicit:
                                         int(self.subsample_stride),
                                         self.mesh, H // D)
         scalars = pipeline.derive_scalars(
-            cfg, self.compactness, self.min_size_factor, 0.05)
+            cfg, self.compactness, self.min_size_factor,
+            self.preemptive_thres)
         labels, st, tie, ovf, raw = fn(jnp.asarray(image), self._state,
                                        scalars)
+        labels = np.asarray(labels).astype(np.int16)
         if bool(np.asarray(tie)) or bool(np.asarray(ovf)):
             # bit-parity escalation, single-frame runner semantics
+            # (runner.py:70-95): host CCA re-run; without a compiler the
+            # uncapped XLA re-run still yields valid labels
             from .. import native
             raw_np = np.asarray(raw)
             if native.available():
                 fixed = native.enforce_connectivity_native(
                     raw_np, cfg.K, int(scalars.thres))
-                out = fixed.astype(np.int32)
-                out[fixed == UNASSIGNED] = -1
-                labels = jnp.asarray(out)
+            else:  # pragma: no cover - g++ present in supported envs
+                from ..ops.cca import enforce_connectivity_xla
+                fixed = np.asarray(enforce_connectivity_xla(
+                    jnp.asarray(raw_np.astype(np.int32)), cfg.K,
+                    jnp.int32(int(scalars.thres))))
+            labels = fixed.astype(np.int16)
+            labels[fixed == UNASSIGNED] = -1
         self._state = st
         return labels
