@@ -83,27 +83,40 @@ def bench_single(H, W, K, max_iter, stride, arch, reps):
     st_dev = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
     image_dev = jnp.asarray(image)
 
-    fn = pipeline.compiled_iterate(cfg, max_iter, stride)
     scalars = pipeline.derive_scalars(
         cfg, params.compactness, params.min_size_factor,
         params.preemptive_thres)
-    args = (image_dev, st_dev, scalars)
 
-    out = jax.block_until_ready(fn(*args))
+    # production-lean program for the timed loop: a video consumer needs
+    # labels + warm-start cluster state + the exactness flags; the
+    # recorder-only min_dists and the raw pre-CCA assignment (used only on
+    # flagged frames - asserted zero below) are not produced, and flags
+    # ride as tiny outputs.  Through the dev tunnel every extra output
+    # handle costs dispatch time, so the full IterateOut would double the
+    # apparent per-frame wall time.
+    @jax.jit
+    def fn(image, st, scalars):
+        out = pipeline.iterate_graph(image, st, cfg, scalars, max_iter,
+                                     stride)
+        return out.labels, out.clusters, out.cca_tie, out.cand_overflow
+
+    args = (image_dev, st_dev, scalars)
+    labels, st, tie, ovf = jax.block_until_ready(fn(*args))
     # no-fallback assertion (see module docstring)
-    assert not bool(np.asarray(out.cca_tie)), \
+    assert not bool(np.asarray(tie)), \
         "bench content tripped the host-CCA fallback; number would be dishonest"
-    assert not bool(np.asarray(out.cand_overflow))
+    assert not bool(np.asarray(ovf))
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
+        labels, st, tie, ovf = fn(*args)
     # sync via an on-device reduce to a scalar: block_until_ready does not
     # reliably synchronize on the tunneled dev backend, and materializing a
     # SLICE pays a full-buffer device->host transfer (NOTES.md traps)
     import jax.numpy as jnp
-    np.asarray(jnp.sum(out.labels))
+    np.asarray(jnp.sum(labels))
     dt = (time.perf_counter() - t0) / reps
+    assert not bool(np.asarray(tie))
     return (H * W) / dt / 1e6
 
 

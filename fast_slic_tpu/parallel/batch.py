@@ -48,12 +48,6 @@ def _default_arch():
     return ARCH_PALLAS if jax.default_backend() == "tpu" else ARCH_XLA
 
 
-@jax.jit
-def _combined_flags(ovf, flags):
-    return jnp.concatenate([ovf.reshape(1).astype(jnp.bool_),
-                            flags.reshape(-1).astype(jnp.bool_)])
-
-
 @functools.lru_cache(maxsize=32)
 def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
                           mesh, B_local: int):
@@ -86,7 +80,10 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
 
     if mesh is None:
         def step(images, st, scalars):
-            return local_step(images, st, scalars)
+            labels, st_out, flags, ovf, raw = local_step(images, st,
+                                                         scalars)
+            both = jnp.concatenate([ovf.reshape(1), flags.reshape(-1)])
+            return labels, st_out, both, raw
         return jax.jit(step)
 
     from jax import shard_map
@@ -98,16 +95,21 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
         # images: [D*B_local, H, W, 3]; shard_map gives each device its
         # B_local frames; ovf is any-reduced across devices
         labels, st_out, flags, ovf, raw = local_step(images, st, scalars)
-        return labels, st_out, flags, jnp.any(
-            jax.lax.all_gather(ovf, "data")), raw
+        ovf = jnp.any(jax.lax.all_gather(ovf, "data"))
+        return labels, st_out, ovf.reshape(1), flags, raw
 
     specs_st = Clusters(*([P("data")] * 8))
     fn = shard_map(
         sharded, mesh=mesh,
         in_specs=(P("data"), specs_st, P()),
-        out_specs=(P("data"), specs_st, P("data"), P(), P("data")),
+        out_specs=(P("data"), specs_st, P(), P("data"), P("data")),
         check_vma=False)
-    return jax.jit(fn)
+
+    def run(images, st, scalars):
+        labels, st_out, ovf1, flags, raw = fn(images, st, scalars)
+        return labels, st_out, jnp.concatenate([ovf1, flags]), raw
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
@@ -130,7 +132,11 @@ def _compiled_map_step(cfg: StaticConfig, max_iter: int, stride: int,
                     out.cand_overflow, out.raw_assignment)
 
         labels, st, tie, ovf, raw = jax.lax.map(one, (images, clusters))
-        return labels, st, tie, jnp.any(ovf), raw
+        # [1 + B] combined flag vector: ONE device->host fetch resolves
+        # the whole batch's exactness state (each blocked fetch costs a
+        # full dispatch round-trip)
+        both = jnp.concatenate([jnp.any(ovf).reshape(1), tie.reshape(-1)])
+        return labels, st, both, raw
 
     if mesh is None:
         return jax.jit(step)
@@ -139,17 +145,22 @@ def _compiled_map_step(cfg: StaticConfig, max_iter: int, stride: int,
     from jax.sharding import PartitionSpec as P
 
     def sharded(images, st, scalars):
-        labels, st_out, tie, ovf, raw = step(images, st, scalars)
-        return labels, st_out, tie, jnp.any(
-            jax.lax.all_gather(ovf, "data")), raw
+        labels, st_out, both, raw = step(images, st, scalars)
+        ovf = jnp.any(jax.lax.all_gather(both[0], "data"))
+        return labels, st_out, ovf.reshape(1), both[1:], raw
 
     specs_st = Clusters(*([P("data")] * 8))
     fn = shard_map(
         sharded, mesh=mesh,
         in_specs=(P("data"), specs_st, P()),
-        out_specs=(P("data"), specs_st, P("data"), P(), P("data")),
+        out_specs=(P("data"), specs_st, P(), P("data"), P("data")),
         check_vma=False)
-    return jax.jit(fn)
+
+    def run(images, st, scalars):
+        labels, st_out, ovf1, tie, raw = fn(images, st, scalars)
+        return labels, st_out, jnp.concatenate([ovf1, tie]), raw
+
+    return jax.jit(run)
 
 
 class BatchedSlic:
@@ -274,11 +285,11 @@ class BatchedSlic:
                                     int(self.subsample_stride), self.mesh)
 
         prev_state = self._state
-        labels, st, flags, ovf, raw = fn(images, self._state, scalars)
-        self.last_flags = flags  # per-frame exactness flags (device [B] bool)
+        labels, st, both, raw = fn(images, self._state, scalars)
+        self.last_flags = both[1:]  # per-frame exactness flags (device)
         self._state = st
         return PendingBatch(self, images, prev_state, max_iter, cfg,
-                            scalars, labels, flags, ovf, raw)
+                            scalars, labels, both, raw)
 
     def _host_cca_rerun(self, labels, raw, flags_np, cfg, scalars):
         """Bit-parity escalation: re-run connectivity enforcement on the
@@ -308,22 +319,22 @@ class PendingBatch:
     check.  See :meth:`BatchedSlic.iterate_async`."""
 
     def __init__(self, parent, images, prev_state, max_iter, cfg, scalars,
-                 labels, flags, ovf, raw):
+                 labels, both, raw):
         self._p = (parent, images, prev_state, max_iter, cfg, scalars,
-                   labels, flags, ovf, raw)
+                   labels, both, raw)
 
     def resolve(self):
         """Fetch this batch's exactness flags (one device->host transfer)
         and return the final labels, applying capacity escalation or
         bit-parity host CCA re-runs if flagged."""
-        (parent, images, prev_state, max_iter, cfg, scalars, labels, flags,
-         ovf, raw) = self._p
+        (parent, images, prev_state, max_iter, cfg, scalars, labels,
+         both_d, raw) = self._p
         if not parent.check_exactness:
             return labels
-        # ONE device->host transfer for all flags: each blocked fetch costs
-        # a full dispatch round-trip (28 ms through the dev tunnel), so ovf
-        # and the per-frame flags ride together
-        both = np.asarray(_combined_flags(ovf, flags))
+        # ONE device->host transfer for all flags (already combined
+        # in-graph): each blocked fetch costs a full dispatch round-trip
+        # (28 ms through the dev tunnel)
+        both = np.asarray(both_d)
         if bool(both[0]) and parent._capacity_boost < 2:
             # candidate capacity exceeded: recompile at 4x capacity and
             # re-run this batch from its pre-batch state (runner.py
