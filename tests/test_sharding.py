@@ -56,3 +56,20 @@ def test_dryrun_entry():
     import importlib
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gspmd_spatial_preemptive_and_variant(image_factory):
+    """ShardedSlic (GSPMD path) accepts variant/preemptive and matches the
+    single-device pipeline."""
+    from fast_slic_tpu.parallel.spatial import ShardedSlic
+    H, W, K = 64, 64, 9
+    img = image_factory(H, W)
+    mesh = make_mesh(8, data=1, space=8)
+    sharded = ShardedSlic(num_components=K, min_size_factor=0.1,
+                          preemptive=True, mesh=mesh)
+    labels = np.asarray(sharded.iterate(img, max_iter=3))
+    assert labels.dtype == np.int16
+    ref = Slic(num_components=K, min_size_factor=0.1,
+               preemptive=True).iterate(img, max_iter=3)
+    np.testing.assert_array_equal(labels, np.asarray(ref))
