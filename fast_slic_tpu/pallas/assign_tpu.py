@@ -45,12 +45,17 @@ _U32_MAX = 0xFFFFFFFF
 
 def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
                    cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
-                   out_a_ref, out_d_ref, *, S, GH, GW, C, CR, rows,
-                   stride, W_real, H_real, manhattan):
+                   out_a_ref, out_d_ref, m_ref, a_ref, *, S, GH, GW, C, CR,
+                   rows, stride, W_real, H_real, manhattan):
     gi = pl.program_id(0)
     Wp = p0_ref.shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
+    # dynamic slot bound: slots >= occ are empty in EVERY cell (computed
+    # grid-wide by the caller), so their bodies can never win a pixel —
+    # skipping them is bit-exact and cuts per-slot VPU/MXU work from the
+    # static capacity C (16) to the content's actual occupancy (~9-13).
+    occ = scal_ref[2].astype(jnp.int32)
 
     # Rows of this strip are the subsampled rows (row index r maps to the
     # absolute image row r*stride + rem); full passes use stride=1, rem=0.
@@ -109,47 +114,72 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
     p2 = p2_ref[:]
 
     # int32 packing (dist << 7 | slot): dist is < 2^16 for sane configs and
-    # int32 avoids Mosaic uint32 quirks; sentinel is INT32_MAX
-    m = jnp.full((rows, Wp), 0x7FFFFFFF, jnp.int32)
+    # int32 avoids Mosaic uint32 quirks; sentinel is INT32_MAX.  The min
+    # carry lives in a VMEM scratch so each slot body can be a pl.when
+    # region the core skips entirely for slots >= occ.
+    m_ref[:] = jnp.full((rows, Wp), 0x7FFFFFFF, jnp.int32)
     for s in range(C):
-        cy = lanex(ey, s)
-        cx = lanex(ex, s)
-        di = ii - cy
-        dj = jj - cx
-        inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
-        if manhattan:
-            spf = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
-        else:
-            dif = di.astype(jnp.float32)
-            djf = dj.astype(jnp.float32)
-            # minimum() blocks FMA contraction (see pipeline._nofma)
-            spf = coef * jnp.sqrt(
-                jnp.minimum(dif * dif, jnp.float32(3.4e38))
-                + jnp.minimum(djf * djf, jnp.float32(3.4e38)))
-        sp = jnp.trunc(spf).astype(jnp.int32)
-        cr = lanex(er, s).astype(jnp.int32)
-        cg = lanex(eg, s).astype(jnp.int32)
-        cb = lanex(eb, s).astype(jnp.int32)
-        cd = jnp.abs(p0 - cr) + jnp.abs(p1 - cg) + jnp.abs(p2 - cb)
-        dist = sp + cd
-        packed = (dist << 7) | s
-        m = jnp.minimum(m, jnp.where(inwin, packed,
-                                     jnp.full_like(m, 0x7FFFFFFF)))
+        @pl.when(s < occ)
+        def _slot_body(s=s):
+            cy = lanex(ey, s)
+            cx = lanex(ex, s)
+            di = ii - cy
+            dj = jj - cx
+            inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
+            if manhattan:
+                spf = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
+            else:
+                dif = di.astype(jnp.float32)
+                djf = dj.astype(jnp.float32)
+                # minimum() blocks FMA contraction (see pipeline._nofma)
+                spf = coef * jnp.sqrt(
+                    jnp.minimum(dif * dif, jnp.float32(3.4e38))
+                    + jnp.minimum(djf * djf, jnp.float32(3.4e38)))
+            sp = jnp.trunc(spf).astype(jnp.int32)
+            cr = lanex(er, s).astype(jnp.int32)
+            cg = lanex(eg, s).astype(jnp.int32)
+            cb = lanex(eb, s).astype(jnp.int32)
+            cd = jnp.abs(p0 - cr) + jnp.abs(p1 - cg) + jnp.abs(p2 - cb)
+            dist = sp + cd
+            packed = (dist << 7) | s
+            m_ref[:] = jnp.minimum(
+                m_ref[:], jnp.where(inwin, packed,
+                                    jnp.full_like(packed, 0x7FFFFFFF)))
 
+    m = m_ref[:]
     got = m != 0x7FFFFFFF
     slot = m & 0x7F
 
     # winner slot -> cluster id (select chain over expanded id tables)
     eid = rowx(cid_ref, True)
-    new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
+    a_ref[:] = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
     for s in range(C):
-        cid = lanex(eid, s)
-        new_assign = jnp.where(got & (slot == s) & (cid >= 0), cid,
-                               new_assign)
+        @pl.when(s < occ)
+        def _id_body(s=s):
+            cid = lanex(eid, s)
+            a_ref[:] = jnp.where(got & (slot == s) & (cid >= 0), cid,
+                                 a_ref[:])
+    new_assign = a_ref[:]
 
     write = got & (new_assign != UNASSIGNED)
     out_a_ref[:] = jnp.where(write, new_assign, old_ref[:])
     out_d_ref[:] = jnp.where(write, m >> 7, jnp.full_like(m, 0xFFFF))
+
+
+def _occupancy(id_field, C):
+    """Dynamic slot bound: 1 + the highest candidate slot index holding any
+    valid id (empty slots carry id = -1 in the folded [GH, C*GW] id field).
+    Slots >= occ are empty in every cell, so the kernels skip their bodies
+    (bit-exact; computed prefix-free so hand-built candidate lists with
+    interior holes still get a sound bound)."""
+    import os
+    if os.environ.get("FSTPU_OCC_OFF"):  # perf A/B: always run all C slots
+        return jnp.int32(C)
+    GH, CG = id_field.shape
+    GW = CG // C
+    valid = (id_field.reshape(GH, C, GW) >= 0).any(axis=(0, 2))   # [C]
+    idx = jnp.arange(1, C + 1, dtype=jnp.int32)
+    return jnp.max(jnp.where(valid, idx, 0))
 
 
 def _strip_rows_cr(GH: int, S: int, stride: int, rows: int) -> int:
@@ -184,6 +214,8 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     old_ref = refs[nf + 3 + n_feat]
     out_a_ref = refs[nf + 3 + n_feat + 1]
     out_d_ref = refs[nf + 3 + n_feat + 2]
+    md_ref = refs[nf + 3 + n_feat + 3]
+    ms_ref = refs[nf + 3 + n_feat + 4]
     (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = field_refs[:6]
     feat_cent_refs = field_refs[6:]
 
@@ -191,6 +223,7 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     Wp = plane_refs[0].shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
+    occ = scal_ref[2].astype(jnp.int32)  # dynamic slot bound (see above)
     row_abs0 = gi * rows
     base_cell = row_abs0 * stride + rem
     base_cell = jnp.clip(base_cell // S, 0, max(GH - CR, 0))
@@ -241,9 +274,12 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
         # (see pipeline._nofma)
         return jnp.minimum(x, fmax)
 
-    md = jnp.full((rows, Wp), fmax, jnp.float32)
-    ms = jnp.full((rows, Wp), -1, jnp.int32)
+    md_ref[:] = jnp.full((rows, Wp), fmax, jnp.float32)
+    ms_ref[:] = jnp.full((rows, Wp), -1, jnp.int32)
     for s in range(C):
+      @pl.when(s < occ)
+      def _slot_body(s=s):
+        md = md_ref[:]
         cy = lanex(expanded[0], s)
         cx = lanex(expanded[1], s)
         if variant == "lsc":
@@ -307,14 +343,22 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
 
         dist = jnp.where(inwin, dist, fmax)
         better = inwin & (dist < md)
-        md = jnp.where(better, dist, md)
-        ms = jnp.where(better, s, ms)
+        md_ref[:] = jnp.where(better, dist, md)
+        ms_ref[:] = jnp.where(better, s, ms_ref[:])
 
+    ms = ms_ref[:]
+    md = md_ref[:]
     got = ms >= 0
-    new_assign = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
+    # winner slot -> cluster id: the select chain accumulates in the (now
+    # free) ms scratch so slots >= occ can be skipped like the main loop
+    ms_ref[:] = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
     for s in range(C):
-        cid = lanex(expanded[5], s).astype(jnp.int32)
-        new_assign = jnp.where(got & (ms == s) & (cid >= 0), cid, new_assign)
+        @pl.when(s < occ)
+        def _id_body(s=s):
+            cid = lanex(expanded[5], s).astype(jnp.int32)
+            ms_ref[:] = jnp.where(got & (ms == s) & (cid >= 0), cid,
+                                  ms_ref[:])
+    new_assign = ms_ref[:]
 
     write = got & (new_assign != UNASSIGNED)
     out_a_ref[:] = jnp.where(write, new_assign, old_ref[:])
@@ -357,7 +401,8 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
     cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
-                      rem_i.astype(jnp.float32)])
+                      rem_i.astype(jnp.float32),
+                      _occupancy(cell_fields[5], C).astype(jnp.float32)])
 
     nf = 6 + n_feat
     kernel = functools.partial(
@@ -376,6 +421,8 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
         out_specs=(strip, strip),
         out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((rows, Wp), jnp.float32),
+                        pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
     )(scal, *(strips[i] for i in range(nf)), *plane_args, old_assign)
     return out_a, out_d
@@ -413,7 +460,8 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
     cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
-                      rem_i.astype(jnp.float32)])
+                      rem_i.astype(jnp.float32),
+                      _occupancy(cell_fields[5], C).astype(jnp.float32)])
 
     kernel = functools.partial(
         _assign_kernel, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
@@ -427,6 +475,8 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
         out_specs=(strip, strip),
         out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((rows, Wp), jnp.int32),
+                        pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
     )(scal, *(strips[i] for i in range(6)),
       planes3[0], planes3[1], planes3[2], old_assign)

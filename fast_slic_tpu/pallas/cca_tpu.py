@@ -68,21 +68,18 @@ def _span_masks(lab, axis, steps):
     A doubling step is ``cur = min(cur, max(roll(cur, sh), mv))`` with
     mv = INT_MIN where the spanned labels are uniform (no clamp) and BIG
     (= no contribution) otherwise — one VPU op cheaper than the
-    compare/where form, and the -1 direction's values are precomputed
-    instead of re-rolled every round.
+    compare/where form.  Only the +1 direction's values are materialized
+    (VMEM: masks dominate the kernel footprint and bound the strip height);
+    the -1 direction re-rolls them per use.
 
-    Returns ([mv_plus...], [mv_minus...]): mv_plus[t][i] covers the span
-    (i - 2^t, i]; mv_minus[t] is mv_plus[t] rolled by -2^t (fill BIG).
+    Returns [mv_plus...]: mv_plus[t][i] covers the span (i - 2^t, i].
     """
     ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
     oks = [ok]
     for t in range(steps - 1):
         ok = ok * _roll_masked(ok, 1 << t, axis, 0)
         oks.append(ok)
-    mvp = [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
-    mvm = [_roll_masked(mvp[t], -(1 << t), axis, _BIG)
-           for t in range(steps)]
-    return mvp, mvm
+    return [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
 
 
 def _seg_doubling(m, lab, axis, reach=None, masks=None):
@@ -97,14 +94,15 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None):
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
         masks = _span_masks(lab, axis, steps)
-    mvp, mvm = masks
+    mvp = masks
     for direction in (1, -1):
         cur = m
-        mv = mvp if direction == 1 else mvm
         for t in range(steps):
             sh = direction * (1 << t)
+            mv = (mvp[t] if direction == 1
+                  else _roll_masked(mvp[t], -(1 << t), axis, _BIG))
             cur_sh = _roll_masked(cur, sh, axis, _BIG)
-            cur = jnp.minimum(cur, jnp.maximum(cur_sh, mv[t]))
+            cur = jnp.minimum(cur, jnp.maximum(cur_sh, mv))
         m = jnp.minimum(m, cur)
     return m
 
@@ -153,15 +151,18 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
         # still change, and cuts the outer (HBM-sweeping) fixpoint passes to
         # the cross-strip coupling count.  The label-span masks are computed
         # once per pass; each round's doubling step is then a roll + min +
-        # select.
+        # select.  Vertical doubling reach is capped like horizontal:
+        # component height is bounded by the same +-S window as its width
+        # (taller adversarial runs — e.g. UNASSIGNED bands — just take
+        # extra fixpoint passes).
         h_steps = _doubling_steps(lab.shape[1], reach)
-        v_steps = _doubling_steps(lab.shape[0])
+        v_steps = _doubling_steps(lab.shape[0], reach)
         h_masks = _span_masks(lab, 1, h_steps)
         v_masks = _span_masks(lab, 0, v_steps)
 
         def one_round(mm):
             mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks)
-            mm = _seg_doubling(mm, lab, axis=0, masks=v_masks)
+            mm = _seg_doubling(mm, lab, axis=0, reach=reach, masks=v_masks)
             return mm
 
         m2 = one_round(m)
@@ -216,7 +217,7 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
     return out, chg[::8, 0]
 
 
-def propagate_min_pallas(labels, m0, strip: int = 64,
+def propagate_min_pallas(labels, m0, strip: int = 96,
                          interpret: bool | None = None,
                          reach: int | None = None):
     """Propagate the component-wise minimum of m0 over 4-connected
@@ -296,7 +297,7 @@ def propagate_min_pallas(labels, m0, strip: int = 64,
     return m[:H, :W]
 
 
-def connected_components_pallas(labels, strip: int = 64,
+def connected_components_pallas(labels, strip: int = 96,
                                 interpret: bool | None = None,
                                 reach: int | None = None):
     """[H, W] labels -> [H, W] component ids (min linear pixel index)."""

@@ -1,0 +1,160 @@
+"""Round-3b TPU experiment battery (run when the axon tunnel is healthy).
+
+Measures, on the REAL subresident loop (the production program):
+  1. occ-skip A/B on the assign kernels (FSTPU_OCC_OFF)
+  2. CCA propagation strip 64 vs 96 (2-phase cover theorem)
+  3. the serial-region dispatch floor ([K]-op chains)
+  4. itemized subresident-loop marginals (what exactly costs 5 ms)
+
+Sync per NOTES.md traps: on-device scalar reduce + np.asarray.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fast_slic_tpu import cluster as cl
+from fast_slic_tpu import pipeline
+from fast_slic_tpu.config import StaticConfig, UNASSIGNED
+
+
+def _scalarize(out):
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    acc = jnp.zeros((), jnp.float32)
+    for x in leaves:
+        acc = acc + jnp.sum(x.astype(jnp.float32) if x.dtype != jnp.float32
+                            else x)
+    return acc
+
+
+def timeit(fn, *args, n=40, warmup=3):
+    f = jax.jit(lambda *a: _scalarize(fn(*a)))
+    for _ in range(warmup):
+        r = f(*args)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = f(*args)
+    np.asarray(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def photo(H, W, seed=0):
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    z = np.load(os.path.join(here, "tests", "data", "golden_ref.npz"))
+    from PIL import Image
+    img = np.asarray(Image.fromarray(z["image"]).resize((W + 512, H + 512),
+                                                        Image.BILINEAR))
+    off = (16 * seed) % 512
+    off2 = (80 * seed + 128) % 512
+    return np.ascontiguousarray(img[off:off + H, off2:off2 + W])
+
+
+def main():
+    H, W, K = 720, 1280, 1600
+    cfg = StaticConfig(H=H, W=W, K=K, arch="pallas")
+    image = photo(H, W)
+    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
+    scal = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
+    img_dev = jnp.asarray(image)
+
+    # ---- 0. full pipeline, production program
+    def full(image, st_):
+        out = pipeline.iterate_graph(image, st_, cfg, scal, 10, 3)
+        return out.labels, out.clusters.y
+    t_full = timeit(full, img_dev, st)
+    print(f"full iterate (subresident): {t_full:7.2f} ms", flush=True)
+
+    # ---- 1. serial floor: chained [K]-op blocks
+    def kops(nblocks):
+        def fn(v):
+            for i in range(nblocks):
+                v = jnp.clip(v * 1.000001 + 0.5, 0.0, 1e6)
+                v = jnp.where(v > 2.0, v - 1.0, v)
+                m = jnp.max(v)
+                v = v + m * 1e-9
+            return v
+        return fn
+    v0 = jnp.arange(K, dtype=jnp.float32)
+    t10 = timeit(kops(10), v0, n=60)
+    t80 = timeit(kops(80), v0, n=60)
+    print(f"[K]-op blocks: 10 -> {t10:6.3f} ms, 80 -> {t80:6.3f} ms, "
+          f"per-block {(t80 - t10) / 70 * 1e3:6.1f} us", flush=True)
+
+    # ---- 2. CCA propagation strip A/B on a REAL full assignment
+    def get_assignment(image, st_):
+        out = pipeline.iterate_graph(image, st_, cfg, scal, 10, 3)
+        return out.raw_assignment
+    assignment = jnp.asarray(np.asarray(jax.jit(get_assignment)(img_dev, st)))
+    from fast_slic_tpu.pallas import cca_tpu
+    from fast_slic_tpu.ops import cca as cca_mod
+    reach = cca_mod._slic_reach((H, W), cfg.S)
+    for strip in (64, 96, 128):
+        try:
+            t = timeit(lambda a, _s=strip: cca_tpu.connected_components_pallas(
+                a, strip=_s, reach=reach), assignment, n=30)
+            print(f"cc strip={strip}: {t:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"cc strip={strip}: FAILED {str(e)[:120]}", flush=True)
+    # exactness cross-check 64 vs 96
+    a64 = np.asarray(jax.jit(lambda a: cca_tpu.connected_components_pallas(
+        a, strip=64, reach=reach))(assignment))
+    a96 = np.asarray(jax.jit(lambda a: cca_tpu.connected_components_pallas(
+        a, strip=96, reach=reach))(assignment))
+    print("cc 64 vs 96 identical:", bool((a64 == a96).all()), flush=True)
+
+    # ---- 3. subresident loop itemized (the REAL loop path)
+    planes_fn = jax.jit(lambda im, s: pipeline.stage_setup(im, s, cfg, scal))
+
+    def loop_only(image, st_):
+        planes, st2, lsc_state = pipeline.stage_setup(image, st_, cfg, scal)
+        st3, assignment, _, cov, _ = pipeline.stage_loop(
+            planes, st2, lsc_state, cfg, scal, 10, 3)
+        return assignment, st3.y
+    t_setup = timeit(lambda im, s: pipeline.stage_setup(im, s, cfg, scal)[0],
+                     img_dev, st)
+    t_loop = timeit(loop_only, img_dev, st)
+    print(f"setup(lab) {t_setup:6.2f} ms; setup+loop {t_loop:6.2f} "
+          f"(marginal loop {t_loop - t_setup:6.2f})", flush=True)
+
+    # loop with pieces disabled (edit _stage_loop_subresident knobs via env)
+    # -> approximate per-piece costs by monkeypatching
+    import fast_slic_tpu.pipeline as P
+
+    real_bc = P.build_candidates
+    def loop_fixed_cand(image, st_):
+        planes, st2, lsc_state = pipeline.stage_setup(image, st_, cfg, scal)
+        cand0, ov = real_bc(st2.y, st2.x, st2.is_active, cfg)
+        P.build_candidates = lambda *a, **k: (cand0, ov)
+        try:
+            st3, assignment, _, cov, _ = pipeline.stage_loop(
+                planes, st2, lsc_state, cfg, scal, 10, 3)
+        finally:
+            P.build_candidates = real_bc
+        return assignment, st3.y
+    t_fc = timeit(loop_fixed_cand, img_dev, st)
+    print(f"loop w/ frozen candidates: {t_fc:6.2f} "
+          f"(candidates+fields marginal {t_loop - t_fc:6.2f})", flush=True)
+
+    real_apply = P.update_apply_means
+    def loop_no_apply(image, st_):
+        planes, st2, lsc_state = pipeline.stage_setup(image, st_, cfg, scal)
+        P.update_apply_means = lambda acc, st4, cfg2: st4
+        try:
+            st3, assignment, _, cov, _ = pipeline.stage_loop(
+                planes, st2, lsc_state, cfg, scal, 10, 3)
+        finally:
+            P.update_apply_means = real_apply
+        return assignment, st3.y
+    t_na = timeit(loop_no_apply, img_dev, st)
+    print(f"loop w/o apply_means: {t_na:6.2f} "
+          f"(apply_means marginal {t_loop - t_na:6.2f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
