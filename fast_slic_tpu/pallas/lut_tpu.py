@@ -57,10 +57,14 @@ def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
                 tt.astype(jnp.bfloat16), ohl,
                 preferred_element_type=jnp.float32)        # [n_hi, tile]
 
-        M = mm(th).astype(jnp.int32) * 256 + mm(tl).astype(jnp.int32)
+        # recombine and row-select in f32 (table values < 2^24 are exact in
+        # f32, and exactly one row is nonzero per column): the [n_hi, tile]
+        # int32 converts of the int formulation are the most expensive VPU
+        # ops of the lookup — one [1, tile] convert at the end instead
+        M = mm(th) * 256.0 + mm(tl)
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
         sel = jnp.where(hi_iota == (x // _LO), M, jnp.zeros_like(M))
-        return jnp.sum(sel, axis=0, keepdims=True)         # [1, tile]
+        return jnp.sum(sel, axis=0, keepdims=True).astype(jnp.int32)
 
     sr = lookup(rgb_ref[0:1, :], srgb2d_ref, 2)
     sg = lookup(rgb_ref[1:2, :], srgb2d_ref, 2)

@@ -141,6 +141,48 @@ def main():
     print(f"loop w/ frozen candidates: {t_fc:6.2f} "
           f"(candidates+fields marginal {t_loop - t_fc:6.2f})", flush=True)
 
+    # ---- 3b. candidate-build itemization (CSE-proof: each link of the
+    # chain perturbs its input by a value-dependent epsilon so XLA cannot
+    # fold the 10 builds into one)
+    def chain(fn10):
+        def f(y, x, act):
+            out = jnp.float32(0)
+            yy, xx = y, x
+            for i in range(10):
+                r = fn10(yy, xx, act)
+                s = sum(jnp.sum(v.astype(jnp.float32)) for v in
+                        jax.tree.leaves(r))
+                yy = yy + s * 1e-20 + 1e-6
+                xx = xx + s * 1e-20
+                out = out + s
+            return out
+        return f
+
+    def bc_full(y, x, act):
+        cand, ov = real_bc(y, x, act, cfg)
+        return cand, ov
+
+    def bc_sortonly(y, x, act):
+        cell = (jnp.clip(y.astype(jnp.int32) // cfg.S, 0, 29) * 54
+                + jnp.clip(x.astype(jnp.int32) // cfg.S, 0, 53))
+        order = jnp.argsort(cell, stable=True).astype(jnp.int32)
+        return (order,)
+
+    def bc_fields(y, x, act):
+        cand, ov = real_bc(y, x, act, cfg)
+        from fast_slic_tpu.pallas.assign_tpu import prepare_cell_fields
+        table = jnp.stack([y, x, y * 0 + 1, x * 0 + 2, y * 0 + 3], axis=1)
+        return prepare_cell_fields(cand, table)
+
+    t_empty = timeit(chain(lambda y, x, act: (y,)), st.y, st.x,
+                     st.is_active, n=30)
+    t_sort = timeit(chain(bc_sortonly), st.y, st.x, st.is_active, n=30)
+    t_bc = timeit(chain(bc_full), st.y, st.x, st.is_active, n=30)
+    t_bf = timeit(chain(bc_fields), st.y, st.x, st.is_active, n=30)
+    print(f"10x chain: empty {t_empty:6.2f}  argsort-only {t_sort:6.2f}  "
+          f"build_candidates {t_bc:6.2f}  +fields {t_bf:6.2f} ms",
+          flush=True)
+
     real_apply = P.update_apply_means
     def loop_no_apply(image, st_):
         planes, st2, lsc_state = pipeline.stage_setup(image, st_, cfg, scal)
