@@ -280,3 +280,26 @@ def test_float_segsum_pallas_matches_scatter(rng):
     # merges; the reference here sums serially)
     np.testing.assert_allclose(got, ref.T.astype(np.float32), rtol=2e-6,
                                atol=1e-4)
+
+
+def test_assign_occ_skip_equivalence(rng, monkeypatch):
+    """The dynamic slot-occupancy bound (assign_tpu._occupancy) must be
+    output-invariant: skipped slots are empty in every cell and can never
+    win a pixel.  A/B the same pass with the bound disabled."""
+    H, W, K = 94, 130, 48
+    cfg_x, cfg_p, planes, st, cand, scal = _setup_assign(
+        rng, H, W, K, convert_to_lab=False, debug_mode=True)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+
+    def run():
+        got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p,
+                                       scal.coef, old, 1, 3)
+        return np.asarray(got.assignment), np.asarray(got.min_dists)
+
+    a_on, d_on = run()
+    monkeypatch.setenv("FSTPU_OCC_OFF", "1")
+    jax.clear_caches()
+    a_off, d_off = run()
+    np.testing.assert_array_equal(a_on, a_off)
+    np.testing.assert_array_equal(d_on, d_off)
