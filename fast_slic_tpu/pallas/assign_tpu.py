@@ -487,11 +487,11 @@ def prepare_feat_fields(cand, cent):
     """cand [GH, GW, C] int32, cent [K, F] f32 -> F f32 [GH, C*GW] arrays
     (LSC centroid feature channels, laid out like prepare_cell_fields)."""
     GH, GW, C = cand.shape
-    safe = jnp.maximum(cand, 0)
-    cdata = cent[safe]                          # [GH, GW, C, F]
+    safe = jnp.maximum(jnp.swapaxes(cand, 1, 2), 0)   # [GH, C, GW]
+    cdata = cent[safe]                                # [GH, C, GW, F]
 
     def fold(a):
-        return jnp.swapaxes(a, 1, 2).reshape(GH, C * GW).astype(jnp.float32)
+        return a.reshape(GH, C * GW).astype(jnp.float32)
 
     return tuple(fold(cdata[..., i]) for i in range(cent.shape[-1]))
 
@@ -505,18 +505,21 @@ def prepare_cell_fields(cand, table):
     """cand [GH, GW, C] int32, table [K, 5] f32 -> 6 f32 [GH, C*GW] arrays
     (y, x, r, g, b, id).  Empty slots carry y = _INVALID_Y, which fails the
     spatial window test in every variant — no separate validity field (one
-    fewer expansion matmul + compare per candidate slot in the kernels)."""
+    fewer expansion matmul + compare per candidate slot in the kernels).
+
+    The candidate array is transposed ONCE before the gather so every
+    per-channel fold is a free reshape instead of its own swapaxes."""
     GH, GW, C = cand.shape
-    safe = jnp.maximum(cand, 0)
-    cdata = table[safe]                         # [GH, GW, C, 5]
-    valid = cand >= 0
+    cand_t = jnp.swapaxes(cand, 1, 2)           # [GH, C, GW]
+    safe = jnp.maximum(cand_t, 0)
+    cdata = table[safe]                         # [GH, C, GW, 5]
+    valid = cand_t >= 0
 
     def fold(a):
-        # [GH, GW, C] -> [GH, C, GW] -> [GH, C*GW]
-        return jnp.swapaxes(a, 1, 2).reshape(GH, C * GW).astype(jnp.float32)
+        return a.reshape(GH, C * GW).astype(jnp.float32)
 
     fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
     fields += [fold(cdata[..., i]) for i in range(1, 5)]
-    fields.append(fold(cand.astype(jnp.float32)))
+    fields.append(fold(cand_t.astype(jnp.float32)))
     return tuple(fields)
 

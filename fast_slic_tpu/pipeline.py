@@ -118,18 +118,26 @@ def build_candidates(y, x, is_active, cfg: StaticConfig, key=None):
     cell = ci * GW + cj
     cell = jnp.where(is_active != 0, cell, num_cells)  # inactive -> sentinel
 
-    order = jnp.argsort(cell, stable=True).astype(jnp.int32)
-    sc = cell[order]
-    idx = jnp.arange(K, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones([1], bool), sc[1:] != sc[:-1]])
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
-    rank = idx - seg_start
-    target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
     if key is None:
         key = visit_order_key(y, x, cfg)
     # (spatial shards pass a key computed from GLOBAL coordinates so the
     # reference's phase pattern survives the row shift)
-    okey = key[order]  # [K]-sized gather: cheap
+
+    # One stable multi-operand sort replaces argsort + two [K] gathers, and
+    # the within-cell rank comes from a P-wide shifted-compare window
+    # instead of an associative_scan (a log-depth chain of small serial
+    # ops): same-cell entries are CONTIGUOUS after the sort, so the d-th
+    # predecessor is same-cell iff rank >= d, i.e. the window sum is
+    # exactly min(true_rank, P) — all this path needs (rank == P already
+    # means "dropped + overflow", cfast_slic has no analog: gather-side
+    # bucketing is ours).
+    sc, okey = jax.lax.sort((cell, key), num_keys=1, is_stable=True)
+    rank = jnp.zeros([K], jnp.int32)
+    for d in range(1, min(P, K - 1) + 1):
+        same = jnp.concatenate(
+            [jnp.zeros([d], bool), sc[d:] == sc[:-d]])
+        rank = rank + same.astype(jnp.int32)
+    target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
 
     def bucketize(values, fill):
         b = jnp.full([num_cells * P + 1], fill, jnp.int32).at[target].set(values)
@@ -627,7 +635,10 @@ def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
     """update_accumulate for pre-sliced subsampled inputs (the resident-
     subsampled loop): p_sub int32 [3, Hs, W] (pad rows zero), a_sub int32
     [Hs, W] with pad/spacer rows already UNASSIGNED.  Row r is absolute
-    image row r*stride + rem."""
+    image row r*stride + rem.
+
+    Returns (counts [K] i32, sums [5, K] i32) in the segsum kernel's
+    native row layout (no [K, 6] transpose on the hot path)."""
     K, W = cfg.K, cfg.W
     mask = a_sub != UNASSIGNED
     if mask_sub is not None:
@@ -640,7 +651,7 @@ def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
             p_sub[0].ravel(), p_sub[1].ravel(),
             p_sub[2].ravel(), jnp.asarray(rem, jnp.int32), K, W,
             stride, False)
-        return jnp.transpose(acc6)[:K]
+        return acc6[0, :K], acc6[1:6, :K]
     Hs = a_sub.shape[0]
     ii = (jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 0) * stride + rem)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Hs, W), 1)
@@ -649,30 +660,37 @@ def update_accumulate_presliced(p_sub, a_sub, cfg: StaticConfig, rem,
         [mask.astype(jnp.int32), ii, jj,
          p_sub[0], p_sub[1], p_sub[2]], axis=-1,
     ).reshape(-1, 6)
-    return segment_sum_matmul(ids, vals, K, max(cfg.H, W, 256))[:K]
+    acc = segment_sum_matmul(ids, vals, K, max(cfg.H, W, 256))[:K]
+    return acc[:, 0], jnp.transpose(acc[:, 1:])
 
 
 def update_apply_means(acc, st: Clusters, cfg: StaticConfig) -> Clusters:
     """The means half of update(): centroid (round_int-)means for updatable
     clusters from the [K, 6] accumulators (context.cpp:356-387)."""
+    return update_apply_means_rows(acc[:, 0], jnp.transpose(acc[:, 1:]),
+                                   st, cfg)
+
+
+def update_apply_means_rows(counts, sums, st: Clusters,
+                            cfg: StaticConfig) -> Clusters:
+    """update_apply_means on row-layout accumulators: counts [K] i32,
+    sums [5, K] i32 ordered (i, j, r, g, b)."""
     quantized = cfg.variant != VARIANT_REAL_NOQ
-    counts = acc[:, 0]
-    sums = acc[:, 1:]
 
     upd = st.is_updatable != 0
     num_members = jnp.where(upd, counts.astype(jnp.uint32), st.num_members)
     safe = jnp.maximum(counts, 1)
     if quantized:
-        means = ((sums + (safe // 2)[:, None]) // safe[:, None]).astype(jnp.float32)
+        means = ((sums + (safe // 2)[None, :]) // safe[None, :]).astype(jnp.float32)
     else:
-        means = sums.astype(jnp.float32) / safe[:, None].astype(jnp.float32)
+        means = sums.astype(jnp.float32) / safe[None, :].astype(jnp.float32)
     sel = upd & (counts > 0)
     return Clusters(
-        y=jnp.where(sel, means[:, 0], st.y),
-        x=jnp.where(sel, means[:, 1], st.x),
-        r=jnp.where(sel, means[:, 2], st.r),
-        g=jnp.where(sel, means[:, 3], st.g),
-        b=jnp.where(sel, means[:, 4], st.b),
+        y=jnp.where(sel, means[0], st.y),
+        x=jnp.where(sel, means[1], st.x),
+        r=jnp.where(sel, means[2], st.r),
+        g=jnp.where(sel, means[3], st.g),
+        b=jnp.where(sel, means[4], st.b),
         num_members=num_members,
         is_active=st.is_active,
         is_updatable=st.is_updatable,
@@ -908,9 +926,9 @@ def _stage_loop_subresident(planes, st: Clusters, lsc_state,
                 [pixel_mask, jnp.zeros((pad, W), bool)], 0
             ).reshape(Hs, stride, W)
             mask_sub = pm[:, rem]
-        acc = update_accumulate_presliced(p_subs[rem], a_upd, cfg, rem,
-                                          stride, mask_sub)
-        st = update_apply_means(acc, st, cfg)
+        counts, sums = update_accumulate_presliced(p_subs[rem], a_upd, cfg,
+                                                   rem, stride, mask_sub)
+        st = update_apply_means_rows(counts, sums, st, cfg)
         if cfg.variant == VARIANT_LSC:
             lsc_cent = lsc_ops.after_update(
                 lsc_feats, lsc_w, st, lsc_cent, cfg, rem, stride, None,

@@ -69,6 +69,8 @@ def main():
         return out.labels, out.clusters.y
     t_full = timeit(full, img_dev, st)
     print(f"full iterate (subresident): {t_full:7.2f} ms", flush=True)
+    if os.environ.get("FSTPU_EXP_ONLY") == "full":
+        return
 
     # ---- 1. serial floor: chained [K]-op blocks
     def kops(nblocks):
@@ -85,6 +87,45 @@ def main():
     t80 = timeit(kops(80), v0, n=60)
     print(f"[K]-op blocks: 10 -> {t10:6.3f} ms, 80 -> {t80:6.3f} ms, "
           f"per-block {(t80 - t10) / 70 * 1e3:6.1f} us", flush=True)
+
+    # data-movement floor: chains of [K] slices / stacks / transposes
+    def movement(nblocks):
+        def fn(v):
+            m = jnp.stack([v, v + 1, v + 2], 0)        # [3, K]
+            out = jnp.float32(0)
+            for i in range(nblocks):
+                a = m[1, :]                            # slice row
+                b = jnp.stack([a, a * 1.0000001], 1)   # [K, 2]
+                c = jnp.transpose(b)                   # [2, K]
+                s = jnp.sum(c)
+                m = m + s * 1e-20
+                out = out + s
+            return out
+        return fn
+    m10 = timeit(movement(10), v0, n=60)
+    m40 = timeit(movement(40), v0, n=60)
+    print(f"[K] slice/stack/transpose blocks: 10 -> {m10:6.3f} ms, "
+          f"40 -> {m40:6.3f} ms, per-block {(m40 - m10) / 30 * 1e3:6.1f} us",
+          flush=True)
+
+    # the [GH, GW, 9P] visit-key sort and a [K]-pair sort, isolated chains
+    def sorts(nblocks, shape):
+        def fn(v):
+            x = (v[:1] * 0).astype(jnp.int32) + jax.lax.broadcasted_iota(
+                jnp.int32, shape, len(shape) - 1)
+            out = jnp.int32(0)
+            for i in range(nblocks):
+                x = jax.lax.sort(x ^ (out & 1), dimension=-1)
+                out = out + jnp.max(x)
+            return out
+        return fn
+    s1 = timeit(sorts(2, (30, 54, 36)), v0, n=40)
+    s2 = timeit(sorts(12, (30, 54, 36)), v0, n=40)
+    print(f"[30,54,36] sort: per-op {(s2 - s1) / 10 * 1e3:6.1f} us",
+          flush=True)
+    k1 = timeit(sorts(2, (1600,)), v0, n=40)
+    k2 = timeit(sorts(12, (1600,)), v0, n=40)
+    print(f"[1600] sort: per-op {(k2 - k1) / 10 * 1e3:6.1f} us", flush=True)
 
     # ---- 2. CCA propagation strip A/B on a REAL full assignment
     def get_assignment(image, st_):
@@ -183,15 +224,15 @@ def main():
           f"build_candidates {t_bc:6.2f}  +fields {t_bf:6.2f} ms",
           flush=True)
 
-    real_apply = P.update_apply_means
+    real_apply = P.update_apply_means_rows
     def loop_no_apply(image, st_):
         planes, st2, lsc_state = pipeline.stage_setup(image, st_, cfg, scal)
-        P.update_apply_means = lambda acc, st4, cfg2: st4
+        P.update_apply_means_rows = lambda c, s, st4, cfg2: st4
         try:
             st3, assignment, _, cov, _ = pipeline.stage_loop(
                 planes, st2, lsc_state, cfg, scal, 10, 3)
         finally:
-            P.update_apply_means = real_apply
+            P.update_apply_means_rows = real_apply
         return assignment, st3.y
     t_na = timeit(loop_no_apply, img_dev, st)
     print(f"loop w/o apply_means: {t_na:6.2f} "
