@@ -31,12 +31,170 @@ from ..ops import cielab as cie
 _LO = 128
 _N_HI = (cie.SRGB_MAX // _LO) + 1  # 65 rows of 128 cover [0, 8192]
 
+# ---------------------------------------------------------------------------
+# Newton-base decomposition of the 8193-entry lab (cube-root) table.
+#
+# The two-level one-hot lookup pays ~_LO + 4*_N_HI VPU ops per element —
+# the lab table's 65 hi rows make it the most expensive part of the LAB
+# kernel.  But the table is round(8192 * f(i/8192)) for the CIELAB
+# nonlinearity: a cube root above the linear-branch threshold, affine
+# below it.  Both branches are reproducible with deterministic f32
+# mul/add-only arithmetic (FMA blocked via minimum(), mirrored bit-for-bit
+# by numpy at build time), leaving a residual of exactly {0, 1} — ONE BIT
+# per index, packed 32/word into a 257-entry side table that shares its
+# two-level lookup with the Newton seed.  Per-element cost drops to
+# ~32 + small.  Exactness is asserted over all 8193 indices at build time,
+# and the kernel-vs-oracle bit-identity test covers the traced form.
+# ---------------------------------------------------------------------------
 
-def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
+_NEWTON_BIG = np.float32(3.0e38)
+_NEWTON_THIRD = np.float32(1.0 / 3.0)
+_NEWTON_INV = np.float32(1.0 / 8192.0)
+_NEWTON_LO = 32
+_NEWTON_NHI = 9  # ceil(257 / 32) -> [9, 32] covers word ids 0..256
+
+
+def _nmin(x):
+    """minimum(x, BIG): blocks FMA contraction of the preceding multiply
+    (see pipeline._nofma) — used identically by the numpy mirror so host
+    and kernel round bit-for-bit."""
+    return np.minimum(x, _NEWTON_BIG).astype(np.float32)
+
+
+def _newton_base_np(x_int, seed_tbl):
+    """Numpy mirror of the kernel's Newton chain (f32, mul-only, FMA-free).
+
+    x_int: int array of table indices.  Returns the rounded f32 base."""
+    xf = x_int.astype(np.float32)
+    t = np.maximum(xf, np.float32(1.0)) * _NEWTON_INV
+    r = seed_tbl[(x_int >> 5).astype(np.int64)]
+    for _ in range(4):
+        r2 = _nmin(r * r)
+        r3 = _nmin(r2 * r)
+        p = _nmin(t * r3)
+        s = np.float32(4.0) - p
+        r = _nmin(r * s) * _NEWTON_THIRD
+    u = _nmin(t * r)
+    u2 = _nmin(u * r)
+    v = u2 * np.float32(8192.0)
+    return np.round(v)  # half-even, like jnp.round
+
+
+@functools.lru_cache(maxsize=1)
+def _newton_lab_tables():
+    """Build (T [5, 9, 32] f32, c1, c2, X0) for the Newton lab lookup.
+
+    T channels: 0..3 = the 1-bit residual words' bytes (hi..lo), 4 = the
+    per-32-block reciprocal-cbrt Newton seed (bf16-exact f32, so the
+    bf16 lookup matmul reproduces it bitwise).  c1/c2: the affine base of
+    the CIELAB linear branch; X0: first index using the Newton base.
+    Asserts residual in {0, 1} for every index."""
+    import ml_dtypes
+
+    lab = cie._LAB_TBL_NP.astype(np.int64)
+    N = lab.shape[0]
+    idx = np.arange(N)
+
+    centers = (np.arange(257, dtype=np.float64) * 32 + 16) / 8192.0
+    seed = (1.0 / np.cbrt(centers)).astype(ml_dtypes.bfloat16).astype(
+        np.float32)
+
+    base_n = _newton_base_np(idx, seed).astype(np.int64)
+    e_n = lab - base_n
+    bad = np.nonzero((e_n != 0) & (e_n != 1))[0]
+    X0 = int(bad.max()) + 1 if bad.size else 0
+    assert X0 < 256, f"Newton base diverges up to index {X0}"
+
+    # affine base for the linear branch [0, X0): residuals of the true
+    # affine map span < 2, so an intercept exists with residual in {0, 1}
+    if X0 > 1:
+        c1 = np.float32((lab[X0 - 1] - lab[0]) / float(X0 - 1))
+        hf = np.arange(X0, dtype=np.float32)
+        r = lab[:X0].astype(np.float64) - np.float64(c1) * hf.astype(np.float64)
+        c2 = np.float32((r.max() - 1.0 + r.min()) / 2.0)
+    else:
+        c1 = np.float32(0.0)
+        c2 = np.float32(lab[0])
+    base_l = np.round(_nmin(c1 * idx.astype(np.float32))
+                      + c2).astype(np.int64)
+    e_l = lab - base_l
+    e_all = np.where(idx < X0, e_l, e_n)
+    assert ((e_all == 0) | (e_all == 1)).all(), \
+        "lab residual not 1-bit; Newton decomposition invalid"
+
+    words = np.zeros(257, np.uint32)
+    for j in range(32):
+        sel = e_all[j::32][: words.shape[0]]
+        words[: sel.shape[0]] |= (sel.astype(np.uint32) << j)
+
+    T = np.zeros((5, _NEWTON_NHI, _NEWTON_LO), np.float32)
+    flat = T.reshape(5, -1)
+    flat[0, :257] = (words >> 24) & 0xFF
+    flat[1, :257] = (words >> 16) & 0xFF
+    flat[2, :257] = (words >> 8) & 0xFF
+    flat[3, :257] = words & 0xFF
+    flat[4, :257] = seed
+    return T, float(c1), float(c2), X0
+
+
+def _lookup_lab_newton(x, nt_ref, c1, c2, X0):
+    """Newton-base lab-table lookup (see _newton_lab_tables): exact value =
+    arithmetic base + 1-bit residual.  x: [1, tile] int32 in [0, 8192]."""
+    tile = x.shape[1]
+    fBIG = jnp.float32(3.0e38)
+
+    def nmin(v):
+        return jnp.minimum(v, fBIG)
+
+    # shared two-level lookup of (residual word, seed) over 257 entries
+    w = x >> 5
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_NEWTON_LO, tile), 0)
+    ohl = (w % _NEWTON_LO == lo_iota).astype(jnp.bfloat16)
+    T = nt_ref[:]                                    # [5, 9, 32] f32
+
+    def mm(ch):
+        return jax.lax.dot(T[ch].astype(jnp.bfloat16), ohl,
+                           preferred_element_type=jnp.float32)  # [9, tile]
+
+    hi = w // _NEWTON_LO
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (_NEWTON_NHI, tile), 0)
+
+    def sel(M):
+        return jnp.sum(jnp.where(hi_iota == hi, M, jnp.zeros_like(M)),
+                       axis=0, keepdims=True)       # [1, tile]
+
+    # byte channels pair-combined in f32 (<= 65535, exact) before the row
+    # select; the 32-bit word assembles in int32 after
+    c01 = mm(0) * 256.0 + mm(1)
+    c23 = mm(2) * 256.0 + mm(3)
+    ew = (sel(c01).astype(jnp.int32) << 16) | sel(c23).astype(jnp.int32)
+    seed = sel(mm(4))
+    bit = (jax.lax.shift_right_logical(ew, x & 31)) & 1
+
+    # Newton base (deterministic f32; the minimum() calls block FMA
+    # contraction so rounding matches the numpy mirror bit-for-bit)
+    xf = x.astype(jnp.float32)
+    t = jnp.maximum(xf, jnp.float32(1.0)) * jnp.float32(1.0 / 8192.0)
+    r = seed
+    for _ in range(4):
+        r2 = nmin(r * r)
+        r3 = nmin(r2 * r)
+        p = nmin(t * r3)
+        s = jnp.float32(4.0) - p
+        r = nmin(r * s) * jnp.float32(1.0 / 3.0)
+    u = nmin(t * r)
+    u2 = nmin(u * r)
+    nb = jnp.round(u2 * jnp.float32(8192.0))
+    lin = jnp.round(nmin(jnp.float32(c1) * xf) + jnp.float32(c2))
+    base = jnp.where(x < X0, lin, nb).astype(jnp.int32)
+    return base + bit
+
+
+def _lab_kernel(srgb2d_ref, nt_ref, rgb_ref, out_ref, *, c1, c2, X0):
     # rgb_ref: [8, tile] i32 (rows 0..2 = R, G, B); out: [8, tile] i32.
-    # Lookups stay in row layout ([1, tile]); the two-level table select is
-    # M = T^t @ onehot_hi (MXU, byte-split bf16 — exact) followed by a
-    # one-hot sublane reduce.  No in-kernel transposes.
+    # sRGB lookups stay two-level one-hot ([2, 128] table); the lab
+    # (cube-root) lookups use the Newton-base decomposition (nt_ref +
+    # static c1/c2/X0) — see _newton_lab_tables.
     tile = rgb_ref.shape[1]
 
     def lookup(x, table_ref, n_hi):
@@ -75,9 +233,9 @@ def _lab_kernel(srgb2d_ref, lab2d_ref, rgb_ref, out_ref):
     def dotrow(r):
         return (cb[r][0] * sr + cb[r][1] * sg + cb[r][2] * sb) >> cie.LAB_SHIFT
 
-    fx = lookup(dotrow(0), lab2d_ref, _N_HI)
-    fy = lookup(dotrow(1), lab2d_ref, _N_HI)
-    fz = lookup(dotrow(2), lab2d_ref, _N_HI)
+    fx = _lookup_lab_newton(dotrow(0), nt_ref, c1, c2, X0)
+    fy = _lookup_lab_newton(dotrow(1), nt_ref, c1, c2, X0)
+    fz = _lookup_lab_newton(dotrow(2), nt_ref, c1, c2, X0)
 
     ciel = 116 * fy - (16 << cie.SRGB_SHIFT)
     ciea = 500 * (fx - fy) + (128 << cie.SRGB_SHIFT)
@@ -113,14 +271,12 @@ def _lab_rows(image, interpret):
     rows = rows.at[1, :n].set(flat[:, 1])
     rows = rows.at[2, :n].set(flat[:, 2])
 
-    lab2d = np.zeros((_N_HI, _LO), np.int32)
-    lab_flat = cie._LAB_TBL_NP
-    lab2d.reshape(-1)[: lab_flat.shape[0]] = lab_flat
+    nt, c1, c2, X0 = _newton_lab_tables()
     srgb2d = np.zeros((2, _LO), np.int32)
     srgb2d.reshape(-1)[:256] = cie._SRGB_TBL_NP
 
     out = pl.pallas_call(
-        _lab_kernel,
+        functools.partial(_lab_kernel, c1=c1, c2=c2, X0=X0),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -128,7 +284,7 @@ def _lab_rows(image, interpret):
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.int32),
         interpret=interpret,
-    )(jnp.asarray(srgb2d), jnp.asarray(lab2d), rows)
+    )(jnp.asarray(srgb2d), jnp.asarray(nt), rows)
     return out, n
 
 
