@@ -6,12 +6,11 @@ pixel-granularity gather executes serially (~8 ms per 720p lookup — 48 ms
 per frame just for LAB).  This kernel does the whole conversion in one pass
 over flat pixel tiles:
 
-* the 256-entry sRGB tables as unrolled compare/select chains (VPU),
-* the 8193-entry lab (cube-root) table as a two-level lookup: a one-hot
-  row-select matmul against the table reshaped to [65, 128] (MXU,
-  Precision.HIGHEST — exact for <2^24 integers), then a one-hot lane select
-  (VPU).  The [1, tile] -> [tile, 1] transposes mirror the segment-sum
-  kernel's proven pattern.
+* the 256-entry sRGB tables as balanced [8, 32] two-level one-hot lookups
+  (byte-split bf16 matmuls, exact),
+* the 8193-entry lab (cube-root) table via the Newton-base + 1-bit-residual
+  decomposition (_newton_lab_tables below) — the value is COMPUTED with
+  deterministic f32 arithmetic and only one residual bit is looked up.
 
 Bit-identical to ops.cielab.rgb_to_lab_quantized (asserted in tests).
 """
@@ -198,14 +197,15 @@ def _lab_kernel(srgb2d_ref, nt_ref, rgb_ref, out_ref, *, c1, c2, X0):
     tile = rgb_ref.shape[1]
 
     def lookup(x, table_ref, n_hi):
-        # x: [1, tile] int32 indices into a [n_hi * _LO] table.  Contract
-        # over the LANE level first (T [n_hi, _LO] @ onehot_lo [_LO, tile]
-        # -> [n_hi, tile]), then select over the n_hi rows — n_hi (65 for
-        # the lab table, 2 for sRGB) is smaller than _LO=128, so the
-        # per-element intermediates, recombines and the select-sum are
-        # ~2x smaller than the hi-first formulation.
-        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
-        ohl = (x % _LO == lo_iota).astype(jnp.bfloat16)    # [_LO, tile]
+        # x: [1, tile] int32 indices into a [n_hi, lo]-shaped table.
+        # Contract over the LANE level first (T [n_hi, lo] @ onehot_lo
+        # [lo, tile] -> [n_hi, tile]), then select over the n_hi rows.
+        # Cost ~ lo + 4*n_hi per element, so the table shape should
+        # balance the two levels (sRGB 256 entries -> [8, 32], half the
+        # cost of the old [2, 128]).
+        lo = table_ref.shape[1]
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, tile), 0)
+        ohl = (x % lo == lo_iota).astype(jnp.bfloat16)     # [lo, tile]
         t = table_ref[:].astype(jnp.float32)               # [n_hi, _LO]
         th = jnp.floor(t / 256.0)
         tl = t - th * 256.0
@@ -221,12 +221,12 @@ def _lab_kernel(srgb2d_ref, nt_ref, rgb_ref, out_ref, *, c1, c2, X0):
         # ops of the lookup — one [1, tile] convert at the end instead
         M = mm(th) * 256.0 + mm(tl)
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
-        sel = jnp.where(hi_iota == (x // _LO), M, jnp.zeros_like(M))
+        sel = jnp.where(hi_iota == (x // lo), M, jnp.zeros_like(M))
         return jnp.sum(sel, axis=0, keepdims=True).astype(jnp.int32)
 
-    sr = lookup(rgb_ref[0:1, :], srgb2d_ref, 2)
-    sg = lookup(rgb_ref[1:2, :], srgb2d_ref, 2)
-    sb = lookup(rgb_ref[2:3, :], srgb2d_ref, 2)
+    sr = lookup(rgb_ref[0:1, :], srgb2d_ref, 8)
+    sg = lookup(rgb_ref[1:2, :], srgb2d_ref, 8)
+    sb = lookup(rgb_ref[2:3, :], srgb2d_ref, 8)
 
     cb = _CB
 
@@ -272,7 +272,7 @@ def _lab_rows(image, interpret):
     rows = rows.at[2, :n].set(flat[:, 2])
 
     nt, c1, c2, X0 = _newton_lab_tables()
-    srgb2d = np.zeros((2, _LO), np.int32)
+    srgb2d = np.zeros((8, 32), np.int32)
     srgb2d.reshape(-1)[:256] = cie._SRGB_TBL_NP
 
     out = pl.pallas_call(
