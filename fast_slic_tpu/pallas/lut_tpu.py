@@ -323,22 +323,22 @@ def _lsc_feat_kernel(lcos_ref, lsin_ref, ccos_ref, csin_ref, rgb_ref,
     """Six 256-entry f32 LUT lookups for the LSC color features
     (lsc.cpp:66-135): rows 0..2 of rgb_ref are the quantized L, a, b
     planes; outputs rows 0..5 are L_cos[L], L_sin[L], color_cos[a],
-    color_sin[a], color_cos[b], color_sin[b].  Tables are [2, 128] f32;
-    the lookup contracts a HIGHEST-precision f32 matmul over the lane
-    level (exact for arbitrary f32 table values) and selects over the two
-    hi rows."""
+    color_sin[a], color_cos[b], color_sin[b].  Tables are [8, 32] f32
+    (balanced two-level split: cost ~ lo + 2*n_hi per element); the lookup
+    contracts a HIGHEST-precision f32 matmul over the lane level (exact
+    for arbitrary f32 table values) and selects over the hi rows."""
     tile = rgb_ref.shape[1]
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (2, tile), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (32, tile), 0)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
 
     def lookups(x, table_refs):
-        ohl = (x % _LO == lo_iota).astype(jnp.float32)
+        ohl = (x % 32 == lo_iota).astype(jnp.float32)
         outs = []
         for tref in table_refs:
             M = jax.lax.dot(tref[:], ohl,
                             precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # [2, tile]
-            sel = jnp.where(hi_iota == (x // _LO), M, jnp.zeros_like(M))
+                            preferred_element_type=jnp.float32)  # [8, tile]
+            sel = jnp.where(hi_iota == (x // 32), M, jnp.zeros_like(M))
             outs.append(jnp.sum(sel, axis=0, keepdims=True))
         return outs
 
@@ -371,7 +371,7 @@ def lsc_color_feats_pallas(planes, lcos, lsin, ccos, csin,
     rows = rows.at[:3, :n].set(flat)
 
     def t2d(t):
-        return jnp.asarray(t, jnp.float32).reshape(2, _LO)
+        return jnp.asarray(t, jnp.float32).reshape(8, 32)
 
     out = pl.pallas_call(
         _lsc_feat_kernel,
