@@ -72,6 +72,28 @@ def main():
     if os.environ.get("FSTPU_EXP_ONLY") == "full":
         return
 
+    # ---- 0b. A/B: bitonic-network visit-key sort; smaller cell capacity
+    os.environ["FSTPU_NETSORT"] = "1"
+    jax.clear_caches()
+    t_ns = timeit(full, img_dev, st)
+    os.environ.pop("FSTPU_NETSORT")
+    jax.clear_caches()
+    print(f"full iterate w/ netsort: {t_ns:7.2f} ms "
+          f"(delta {t_ns - t_full:+6.2f})", flush=True)
+
+    cfg_p3 = StaticConfig(H=H, W=W, K=K, arch="pallas", cell_capacity=3,
+                          cand_slots=16)
+    def full_p3(image, st_):
+        out = pipeline.iterate_graph(image, st_, cfg_p3, scal, 10, 3)
+        return out.labels, out.clusters.y, out.cand_overflow
+    try:
+        t_p3 = timeit(full_p3, img_dev, st)
+        ovf = bool(np.asarray(jax.jit(full_p3)(img_dev, st)[2]))
+        print(f"full iterate cell_capacity=3: {t_p3:7.2f} ms "
+              f"(delta {t_p3 - t_full:+6.2f}, overflow={ovf})", flush=True)
+    except Exception as e:
+        print("cell_capacity=3 failed:", str(e)[:120], flush=True)
+
     # ---- 1. serial floor: chained [K]-op blocks
     def kops(nblocks):
         def fn(v):
