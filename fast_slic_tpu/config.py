@@ -164,6 +164,18 @@ class StaticConfig:
         """Clusters per frame (== K except in canvas mode)."""
         return self.K // self.canvas_frames
 
+    @property
+    def frame_max_components(self) -> int:
+        """Per-frame CCA component cap: what a standalone frame of this
+        canvas would resolve effective_max_components to (canvas CCA
+        numbers components per frame)."""
+        if not self.is_canvas:
+            return self.effective_max_components
+        if self.max_components:
+            return max(1, self.max_components // self.canvas_frames)
+        nf = self.canvas_frame_h * self.W
+        return min(nf, max(4096, -(-(nf // 24) // 128) * 128))
+
     def __post_init__(self):
         if self.variant not in VARIANTS:
             raise RuntimeError("No such real_dist_type " + repr(self.variant))

@@ -312,32 +312,37 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
 
     assignment: int32 [B*pitch, W]; frame f occupies rows
     [f*pitch, f*pitch + frame_h), labels in [f*K_frame, (f+1)*K_frame);
-    spacer rows are UNASSIGNED.  Reproduces the per-frame semantics of
-    ``enforce_connectivity_xla_flagged`` exactly: every frame is thresholded,
-    top-K-selected and renumbered from 0 independently, as if each had been
-    processed standalone (reference cca.cpp:178-265 per frame).
+    spacer rows are UNASSIGNED.  ``max_components`` is the PER-FRAME
+    component cap (what a standalone frame would use).  Reproduces the
+    per-frame semantics of ``enforce_connectivity_xla_flagged`` exactly:
+    every frame is thresholded, top-K-selected and renumbered from 0
+    independently, as if each had been processed standalone (reference
+    cca.cpp:178-265 per frame).
 
-    Key structural facts this exploits:
+    Components are numbered PER FRAME from the start: component id =
+    f*MF + (leader rank within frame f), computable because the canvas row
+    structure is static (frame id = row // pitch).  Every selection step
+    (area threshold, per-frame top-K binary search, substitute numbering,
+    first-component rule) then runs on [B, MF]-shaped arrays with axis-1
+    reduces/cumsums — the single-frame math, vmapped — so the op count is
+    independent of B (the previous formulation used O(B) select chains per
+    step, which made canvas CCA bookkeeping scale with batch depth).
 
-    * components never cross frames (labels differ; spacer rows are a label
-      of their own), so one connected-components pass over the whole canvas
-      is exact;
-    * component numbering follows leader raster order, which groups each
-      frame's components *contiguously* (interleaved with spacer-band
-      components, filtered by leader position) — so all per-frame selection
-      reduces to segmented prefix ops over the component axis, computed as
-      B-way select/sum chains (no big gathers, NOTES.md fact #1);
+    Other structural facts (unchanged):
+
+    * components never cross frames (labels differ; spacer rows carry
+      chunked sentinel labels), so one connected-components pass over the
+      whole canvas is exact;
     * a frame's first real component is the component of its pixel (0,0)
       (that pixel is the frame's smallest raster index), which receives the
       reference's "component 0 always gets a label" rule (cca.cpp:238);
     * orphan adoption targets (leader's left/up neighbor) stay within the
-      frame: a leader on frame row 0 with x>0 adopts left; x==0, row>0
-      adopts up; (0,0) is the always-labeled first component.
+      frame, and chains terminate at the always-labeled first component.
 
     Returns (labels int32 [B*pitch, W] — values are per-frame substitute
     numbers; spacer rows garbage, callers crop — and flags bool [B]: frame
     needs a bit-exact host re-run: top-K boundary-area tie, unassigned
-    pixels inside the frame, or global component overflow).
+    pixels inside the frame, or per-frame component overflow).
     """
     from ..pipeline import segment_sum_matmul
     from ..pallas.cca_tpu import propagate_min_pallas
@@ -345,7 +350,8 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     CH, W = assignment.shape
     assert CH == B * pitch
     n = CH * W
-    maxc = min(n, max_components)
+    MF = min(pitch * W, max_components)
+    maxc = B * MF
     small = n <= _JUMP_TABLE_LIMIT
     on_tpu = jax.default_backend() == "tpu"
 
@@ -368,76 +374,60 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     is_leader = L2 == iota2
     il = is_leader.astype(jnp.int32)
 
-    row_counts = jnp.sum(il, axis=1)
-    row_offsets = jnp.cumsum(row_counts) - row_counts
+    # per-frame leader rank: 2-D prefix count with a reset at every frame
+    # boundary (static row structure: frame f owns rows [f*pitch, ...))
+    row_counts = jnp.sum(il, axis=1)                    # [CH]
+    rc_f = row_counts.reshape(B, pitch)
+    ro_f = jnp.cumsum(rc_f, axis=1) - rc_f              # excl. within frame
+    ncomp_f = jnp.sum(rc_f, axis=1)                     # [B]
+    overflow = ncomp_f > MF                             # per-frame flag
     in_row = jnp.cumsum(il, axis=1) - il
-    rank2 = row_offsets[:, None] + in_row
-    num_components = row_offsets[-1] + row_counts[-1]
-    overflow = num_components > maxc
+    rank2 = ro_f.reshape(CH)[:, None] + in_row          # per-frame rank
+    fid = ii // pitch
+    seed_vals = fid * MF + jnp.minimum(rank2, MF - 1)
 
-    comp_seed = jnp.where(is_leader, jnp.minimum(rank2, maxc - 1), _BIG)
+    comp_seed = jnp.where(is_leader, seed_vals, _BIG)
     if small or not on_tpu:
-        comp2 = rank2.reshape(-1)[L2.reshape(-1)].reshape(CH, W)
-        comp2 = jnp.minimum(comp2, maxc - 1)
+        comp2 = seed_vals.reshape(-1)[L2.reshape(-1)].reshape(CH, W)
     else:
         comp2 = propagate_min_pallas(cca_labels, comp_seed,
                                      reach=_slic_reach((CH, W), S))
     comp_flat = comp2.reshape(-1)
 
-    # One segment-sum aggregates, per component: area, leader ROW (for the
-    # frame-id/spacer classification — split into two sub-16-bit parts),
+    # One segment-sum aggregates, per component: area, leader IN-FRAME row
+    # (for the spacer classification — split into two sub-16-bit parts),
     # and the orphan-adoption target, aggregated pixel-side like the
     # single-image path (each leader pixel contributes its left/up
     # neighbor's component id — two shifts, no [maxc]-sized gather from the
     # pixel map).
+    lrow_in = ii % pitch
     donor_comp = jnp.where(jj > 0, _shifted(comp2, 0, -1, 0),
                            _shifted(comp2, -1, 0, 0))
     vals = jnp.stack(
         [jnp.ones_like(il),
-         jnp.where(is_leader, ii >> 8, 0),
-         jnp.where(is_leader, ii & 0xFF, 0),
+         jnp.where(is_leader, lrow_in >> 8, 0),
+         jnp.where(is_leader, lrow_in & 0xFF, 0),
          jnp.where(is_leader, donor_comp >> 14, 0),
          jnp.where(is_leader, donor_comp & 16383, 0)], axis=-1).reshape(-1, 5)
     acc = segment_sum_matmul(comp_flat, vals, maxc,
-                             max_val=max(n >> 16, 16383, CH >> 8))[:maxc]
-    areas = acc[:, 0]
-    lrow = acc[:, 1] * 256 + acc[:, 2]
-    target = acc[:, 3] * 16384 + acc[:, 4]
+                             max_val=max(n >> 16, 16383, pitch >> 8))[:maxc]
+    A = acc[:, 0].reshape(B, MF)                        # areas
+    LR = (acc[:, 1] * 256 + acc[:, 2]).reshape(B, MF)   # leader in-frame row
+    target = acc[:, 3] * 16384 + acc[:, 4]              # [maxc]
 
-    citoa = jnp.arange(maxc, dtype=jnp.int32)
-    valid_comp = citoa < num_components
-    cf = jnp.clip(lrow // pitch, 0, B - 1)         # frame id [maxc]
-    is_spacer = (lrow % pitch) >= frame_h
+    ridx = jnp.arange(MF, dtype=jnp.int32)[None, :]
+    valid_comp = ridx < ncomp_f[:, None]                # [B, MF]
+    is_spacer = LR >= frame_h
     real = valid_comp & ~is_spacer
-    kept_pre = real & (areas >= min_threshold)
+    kept_pre = real & (A >= min_threshold)
 
-    def per_frame_sum(indicator_i32):
-        """[maxc] int32 -> [B] per-frame totals (B-way select chain)."""
-        return jnp.stack([
-            jnp.sum(jnp.where(cf == f, indicator_i32, 0)) for f in range(B)])
-
-    def expand(vec_b):
-        """[B] -> [maxc] by frame id (select chain, no gather)."""
-        out = jnp.zeros([maxc], vec_b.dtype)
-        for f in range(B):
-            out = jnp.where(cf == f, vec_b[f], out)
-        return out
-
-    def seg_cumsum(v_i32):
-        """Per-frame inclusive cumsum along the component axis (components
-        of one frame are contiguous in leader order; spacer components are
-        masked out of v by the caller)."""
-        c = jnp.cumsum(v_i32)
-        totals = per_frame_sum(v_i32)
-        starts = jnp.cumsum(totals) - totals       # exclusive over frames
-        return c - expand(starts)
-
-    k = min(K_frame, maxc)
-    count_pre = per_frame_sum(kept_pre.astype(jnp.int32))   # [B]
+    k = min(K_frame, MF)
+    kp_i = kept_pre.astype(jnp.int32)
+    count_pre = jnp.sum(kp_i, axis=1)                   # [B]
 
     def cnt_gt(T_b):
-        ind = kept_pre & (areas > expand(T_b))
-        return per_frame_sum(ind.astype(jnp.int32))
+        return jnp.sum((kept_pre & (A > T_b[:, None])).astype(jnp.int32),
+                       axis=1)
 
     def bs_body(_, carry):
         lo, hi = carry
@@ -445,36 +435,41 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
         p = cnt_gt(mid) < k
         return jnp.where(p, lo, mid + 1), jnp.where(p, mid, hi)
 
-    steps = max(1, math.ceil(math.log2(max(n + 1, 2))))
+    steps = max(1, math.ceil(math.log2(max(pitch * W + 1, 2))))
     lo, hi = jax.lax.fori_loop(
         0, steps, bs_body,
-        (jnp.zeros([B], jnp.int32), jnp.full([B], n, jnp.int32)))
-    T = lo                                           # [B]
+        (jnp.zeros([B], jnp.int32), jnp.full([B], pitch * W, jnp.int32)))
+    T = lo                                              # [B]
     n_gt = cnt_gt(T)
-    fill = k - n_gt                                  # [B]
-    T_comp = expand(T)
-    eq = kept_pre & (areas == T_comp)
+    fill = k - n_gt                                     # [B]
+    eq = kept_pre & (A == T[:, None])
     eq_i = eq.astype(jnp.int32)
-    eq_rank = seg_cumsum(eq_i)                       # per-frame inclusive
-    kept = (kept_pre & (areas > T_comp)) | (eq & (eq_rank <= expand(fill)))
-    boundary_tie = (count_pre > k) & (fill < per_frame_sum(eq_i))   # [B]
+    eq_rank = jnp.cumsum(eq_i, axis=1)                  # per-frame inclusive
+    kept = (kept_pre & (A > T[:, None])) | (eq & (eq_rank <= fill[:, None]))
+    boundary_tie = (count_pre > k) & (fill < jnp.sum(eq_i, axis=1))   # [B]
 
     kept_i = kept.astype(jnp.int32)
-    substitute = jnp.where(kept, seg_cumsum(kept_i) - 1, UNASSIGNED
+    substitute = jnp.where(kept, jnp.cumsum(kept_i, axis=1) - 1, UNASSIGNED
                            ).astype(jnp.int32)
     # first real component of each frame always gets a label (cca.cpp:238)
-    real_rank = seg_cumsum(real.astype(jnp.int32))
+    real_rank = jnp.cumsum(real.astype(jnp.int32), axis=1)
     is_first_real = real & (real_rank == 1)
     substitute = jnp.where(is_first_real & (substitute == UNASSIGNED), 0,
                            substitute)
     # spacer components are cropped away by the caller, and pad entries
-    # beyond num_components can never resolve through the orphan DAG:
-    # park both at 0 so they cost no pointer-jump iterations and the jump
-    # loop's early exit can fire
+    # beyond ncomp_f can never resolve through the orphan DAG: park both at
+    # 0 so they cost no pointer-jump iterations and the jump loop's early
+    # exit can fire
     substitute = jnp.where(valid_comp & is_spacer, 0, substitute)
     substitute = jnp.where(valid_comp, substitute, 0)
+    substitute = substitute.reshape(maxc)
 
-    target = jnp.where(citoa == 0, 0, target)
+    # every frame's component 0 is its always-labeled first real component
+    # (frame pixel (0,0) has the frame-min raster index), so orphan chains
+    # terminate within their frame; the global guard below only covers the
+    # degenerate empty-frame padding
+    citoa = jnp.arange(maxc, dtype=jnp.int32)
+    target = jnp.where(citoa % MF == 0, citoa, target)
     substitute, unresolved = _resolve_orphans(substitute, target, maxc,
                                               small or not on_tpu)
 
@@ -486,7 +481,8 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
                                    False).reshape(CH, W)
 
     # per-frame host-re-run flags: boundary tie, unassigned in-frame pixels
-    # (canvas assignment can differ from standalone there), global overflow
+    # (canvas assignment can differ from standalone there), per-frame
+    # component overflow
     a3 = assignment.reshape(B, pitch, W)
     unassigned_f = jnp.any(a3[:, :frame_h, :] == UNASSIGNED, axis=(1, 2))
     return out, boundary_tie | unassigned_f | overflow | unresolved

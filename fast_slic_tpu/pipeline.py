@@ -1120,7 +1120,7 @@ def stage_cca(assignment, cfg: StaticConfig, scalars: DerivedScalars):
         labels, cca_tie = enforce_connectivity_canvas_flagged(
             assignment, cfg.frame_K, cfg.canvas_frames, cfg.canvas_pitch,
             cfg.canvas_frame_h, jnp.asarray(scalars.thres, jnp.int32),
-            cfg.effective_max_components, cfg.S)
+            cfg.frame_max_components, cfg.S)
     else:
         labels, cca_tie = enforce_connectivity_xla_flagged(
             assignment, cfg.K, jnp.asarray(scalars.thres, jnp.int32),
