@@ -94,6 +94,29 @@ def main():
     except Exception as e:
         print("cell_capacity=3 failed:", str(e)[:120], flush=True)
 
+    # ---- 0c. batched: lax.map vs canvas (per-frame numbering CCA)
+    if os.environ.get("FSTPU_EXP_BATCH"):
+        from fast_slic_tpu.parallel.batch import BatchedSlic
+        frames = np.stack([photo(H, W, seed=s + 1) for s in range(16)])
+        for mode in ("map", "canvas"):
+            try:
+                bs = BatchedSlic(num_components=K, compactness=10.0,
+                                 min_size_factor=0.1, batch_mode=mode,
+                                 check_exactness=False)
+                lb = bs.iterate(jnp.asarray(frames), max_iter=10)
+                np.asarray(jnp.sum(lb))
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    bs._state = None
+                    lb = bs.iterate(jnp.asarray(frames), max_iter=10)
+                np.asarray(jnp.sum(lb))
+                dt = (time.perf_counter() - t0) / 8 / 16 * 1e3
+                print(f"batched[{mode}] B=16: {dt:6.2f} ms/frame "
+                      f"({16 * H * W / (dt * 16) / 1e3:.1f} Mpix/s)",
+                      flush=True)
+            except Exception as e:
+                print(f"batched[{mode}] failed: {str(e)[:140]}", flush=True)
+
     # ---- 1. serial floor: chained [K]-op blocks
     def kops(nblocks):
         def fn(v):
