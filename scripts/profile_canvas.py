@@ -86,7 +86,7 @@ def main():
 
     f = jax.jit(lambda a: cca_mod.enforce_connectivity_canvas_flagged(
         a, K, B, pitch, H, jnp.int32(int(scal.thres)),
-        cfg.effective_max_components, cfg.S)[0])
+        cfg.frame_max_components, cfg.S)[0])
     t = timeit(f, assignment, n=5)
     print(f"cca canvas   : {t:8.2f} ms")
 

@@ -154,7 +154,7 @@ def main():
               f"(marginal {t-prev:+7.2f})")
         prev = t
 
-    f = jax.jit(lambda a: cca_mod.enforce_connectivity_canvas_flagged(
+    f = jax.jit(lambda a: cca_mod.enforce_connectivity_canvas_flagged(  # maxc arg is now PER-FRAME
         a, K_frame, B, pitch_, fh, jnp.int32(int(scal.thres)),
         maxc, S)[0])
     t = timeit(f, assignment, n=5)

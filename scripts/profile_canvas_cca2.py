@@ -111,7 +111,7 @@ def main():
     print(f"one B-chain (sum+expand) over maxc={maxc}: {t:8.2f} ms")
 
     # full canvas cca, current code
-    f = jax.jit(lambda a: cca_mod.enforce_connectivity_canvas_flagged(
+    f = jax.jit(lambda a: cca_mod.enforce_connectivity_canvas_flagged(  # maxc arg is now PER-FRAME
         a, K, B, pitch, H, jnp.int32(int(scal.thres)), maxc, S)[0])
     t = timeit(f, assignment, n=5)
     print(f"canvas cca FULL           : {t:8.2f} ms")
