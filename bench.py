@@ -125,9 +125,11 @@ def bench_batched(B, H, W, K, max_iter, stride, arch, reps):
     import jax.numpy as jnp
     from fast_slic_tpu.parallel.batch import BatchedSlic
 
+    mode = os.environ.get("FSTPU_BENCH_MODE", "map")
     slic = BatchedSlic(num_components=K, compactness=10.0,
                        min_size_factor=0.1, subsample_stride=stride,
-                       arch=arch, check_exactness=True)
+                       arch=arch, check_exactness=True, batch_mode=mode)
+    bench_batched.mode = mode
 
     # Probe for tie-free content: some window offsets produce component
     # areas that tie exactly at the top-K boundary, which (correctly)
@@ -377,6 +379,7 @@ def main():
         "vs_baseline": round(batched / baseline_mpix_s, 3),
         "single_frame_mpix_s": round(single, 2),
         "batch": B,
+        "batch_mode": getattr(bench_batched, "mode", "map"),
         "fps_720p": round(batched * 1e6 / (H * W), 1),
         **extras,
     }))
