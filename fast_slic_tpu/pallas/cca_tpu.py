@@ -217,7 +217,16 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
     return out, chg[::8, 0]
 
 
-def propagate_min_pallas(labels, m0, strip: int = 96,
+def _default_strip() -> int:
+    """96-row strips with half-strip phase alternation cover any component
+    of height <= 49 (= 2S+1 at 720p K=1600) wholly inside one strip of one
+    phase, bounding convergence at ~2 passes + confirm.  FSTPU_CCA_STRIP
+    overrides for A/B (64 = the round-2 geometry)."""
+    import os
+    return int(os.environ.get("FSTPU_CCA_STRIP", "96"))
+
+
+def propagate_min_pallas(labels, m0, strip: int | None = None,
                          interpret: bool | None = None,
                          reach: int | None = None):
     """Propagate the component-wise minimum of m0 over 4-connected
@@ -234,6 +243,8 @@ def propagate_min_pallas(labels, m0, strip: int = 96,
     resolves in a single pass of the opposite phase.  Real maps converge in
     ~2 phase pairs (+1 to confirm)."""
     H, W = labels.shape
+    if strip is None:
+        strip = _default_strip()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if reach is None:
@@ -297,7 +308,7 @@ def propagate_min_pallas(labels, m0, strip: int = 96,
     return m[:H, :W]
 
 
-def connected_components_pallas(labels, strip: int = 96,
+def connected_components_pallas(labels, strip: int | None = None,
                                 interpret: bool | None = None,
                                 reach: int | None = None):
     """[H, W] labels -> [H, W] component ids (min linear pixel index)."""
