@@ -60,7 +60,7 @@ def _doubling_steps(n, reach=None):
 _INT_MIN = -0x80000000
 
 
-def _span_masks(lab, axis, steps):
+def _span_masks(lab, axis, steps, as_flags: bool = False):
     """Precompute segmented-doubling span CLAMP VALUES (label-only, so they
     are computed ONCE per kernel pass and reused by every local round — the
     min values change per round, the labels never do).
@@ -72,17 +72,25 @@ def _span_masks(lab, axis, steps):
     (VMEM: masks dominate the kernel footprint and bound the strip height);
     the -1 direction re-rolls them per use.
 
-    Returns [mv_plus...]: mv_plus[t][i] covers the span (i - 2^t, i].
+    as_flags=True stores the uniformity flags as bf16 0/1 instead of i32
+    clamp values (half the VMEM — what lets 144/192-row strips fit — at
+    +1 select per step per round to materialize mv).
+
+    Returns [mv_plus...] (or [ok_plus...] bf16): entry t covers the span
+    (i - 2^t, i].
     """
     ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
     oks = [ok]
     for t in range(steps - 1):
         ok = ok * _roll_masked(ok, 1 << t, axis, 0)
         oks.append(ok)
+    if as_flags:
+        return [o.astype(jnp.bfloat16) for o in oks]
     return [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
 
 
-def _seg_doubling(m, lab, axis, reach=None, masks=None):
+def _seg_doubling(m, lab, axis, reach=None, masks=None,
+                  as_flags: bool = False):
     """Segmented min-doubling along `axis`, both directions.
 
     m: int32 running min (candidate component ids), lab: labels.
@@ -93,14 +101,20 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None):
     """
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
-        masks = _span_masks(lab, axis, steps)
+        masks = _span_masks(lab, axis, steps, as_flags)
     mvp = masks
     for direction in (1, -1):
         cur = m
         for t in range(steps):
             sh = direction * (1 << t)
-            mv = (mvp[t] if direction == 1
-                  else _roll_masked(mvp[t], -(1 << t), axis, _BIG))
+            if as_flags:
+                okv = (mvp[t] if direction == 1
+                       else _roll_masked(mvp[t], -(1 << t), axis,
+                                         jnp.bfloat16(0)))
+                mv = jnp.where(okv != 0, _INT_MIN, _BIG)
+            else:
+                mv = (mvp[t] if direction == 1
+                      else _roll_masked(mvp[t], -(1 << t), axis, _BIG))
             cur_sh = _roll_masked(cur, sh, axis, _BIG)
             cur = jnp.minimum(cur, jnp.maximum(cur_sh, mv))
         m = jnp.minimum(m, cur)
@@ -157,12 +171,17 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
         # extra fixpoint passes).
         h_steps = _doubling_steps(lab.shape[1], reach)
         v_steps = _doubling_steps(lab.shape[0], reach)
-        h_masks = _span_masks(lab, 1, h_steps)
-        v_masks = _span_masks(lab, 0, v_steps)
+        # taller strips (144/192: the 2-phase cover for 1080p components)
+        # only fit VMEM with bf16 flag masks (+1 select per step per round)
+        flags = lab.shape[0] > 96
+        h_masks = _span_masks(lab, 1, h_steps, flags)
+        v_masks = _span_masks(lab, 0, v_steps, flags)
 
         def one_round(mm):
-            mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks)
-            mm = _seg_doubling(mm, lab, axis=0, reach=reach, masks=v_masks)
+            mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks,
+                               as_flags=flags)
+            mm = _seg_doubling(mm, lab, axis=0, reach=reach, masks=v_masks,
+                               as_flags=flags)
             return mm
 
         m2 = one_round(m)
