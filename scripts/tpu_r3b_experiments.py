@@ -180,7 +180,7 @@ def main():
     from fast_slic_tpu.pallas import cca_tpu
     from fast_slic_tpu.ops import cca as cca_mod
     reach = cca_mod._slic_reach((H, W), cfg.S)
-    for strip in (64, 96, 128):
+    for strip in (64, 96, 144, 192):
         try:
             t = timeit(lambda a, _s=strip: cca_tpu.connected_components_pallas(
                 a, strip=_s, reach=reach), assignment, n=30)
