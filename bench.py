@@ -358,18 +358,28 @@ def main():
     except Exception as e:
         extras["parity_error"] = str(e)[:200]
     if os.environ.get("FSTPU_BENCH_CONFIGS", "1") != "0":
-        # the full BASELINE.md config matrix (ms per frame/window)
-        try:
-            extras["cfg1_640x480_K100_msf0_ms"] = round(
-                bench_config1(arch, reps), 2)
-            extras["cfg3_1080p_preemptive_ms"] = round(
-                bench_config3(arch, max(5, reps // 2)), 2)
-            extras["cfg4_1080p_lsc_ms"] = round(
-                bench_config4(arch, max(5, reps // 2)), 2)
-            extras["cfg5_crf_T5_K1600_C21_ms"] = round(
-                bench_config5(max(3, reps // 4)), 2)
-        except Exception as e:  # keep the headline alive on any failure
-            extras["config_matrix_error"] = str(e)[:200]
+        # the full BASELINE.md config matrix (ms per frame/window); each
+        # config is isolated so one transient compile failure cannot erase
+        # the others' records
+        for key, fn in (
+            ("cfg1_640x480_K100_msf0_ms", lambda: bench_config1(arch, reps)),
+            ("cfg3_1080p_preemptive_ms",
+             lambda: bench_config3(arch, max(5, reps // 2))),
+            ("cfg4_1080p_lsc_ms",
+             lambda: bench_config4(arch, max(5, reps // 2))),
+            ("cfg5_crf_T5_K1600_C21_ms",
+             lambda: bench_config5(max(3, reps // 4))),
+        ):
+            try:
+                try:
+                    extras[key] = round(fn(), 2)
+                except Exception:
+                    # one retry: the axon remote-compile helper 500s
+                    # transiently under load
+                    time.sleep(5)
+                    extras[key] = round(fn(), 2)
+            except Exception as e:  # keep the headline alive on any failure
+                extras[key + "_error"] = str(e)[:200]
 
     baseline_mpix_s = (640 * 480) / 8.8e-3 / 1e6  # 34.9 Mpix/s (CPU ref)
     print(json.dumps({

@@ -55,6 +55,30 @@ def photo(H, W, seed=0):
     return np.ascontiguousarray(img[off:off + H, off2:off2 + W])
 
 
+def run_batch(H, W, K):
+    from fast_slic_tpu.parallel.batch import BatchedSlic
+    B = int(os.environ.get("FSTPU_EXP_B", "16"))
+    frames = np.stack([photo(H, W, seed=s + 1) for s in range(B)])
+    for mode in ("map", "canvas"):
+        try:
+            bs = BatchedSlic(num_components=K, compactness=10.0,
+                             min_size_factor=0.1, batch_mode=mode,
+                             check_exactness=False)
+            lb = bs.iterate(jnp.asarray(frames), max_iter=10)
+            np.asarray(jnp.sum(lb))
+            t0 = time.perf_counter()
+            for _ in range(8):
+                bs._state = None
+                lb = bs.iterate(jnp.asarray(frames), max_iter=10)
+            np.asarray(jnp.sum(lb))
+            dt = (time.perf_counter() - t0) / 8 / B * 1e3
+            print(f"batched[{mode}] B={B}: {dt:6.2f} ms/frame "
+                  f"({B * H * W / (dt * B) / 1e3:.1f} Mpix/s)",
+                  flush=True)
+        except Exception as e:
+            print(f"batched[{mode}] failed: {str(e)[:140]}", flush=True)
+
+
 def main():
     H, W, K = 720, 1280, 1600
     cfg = StaticConfig(H=H, W=W, K=K, arch="pallas")
@@ -69,10 +93,16 @@ def main():
         return out.labels, out.clusters.y
     t_full = timeit(full, img_dev, st)
     print(f"full iterate (subresident): {t_full:7.2f} ms", flush=True)
-    if os.environ.get("FSTPU_EXP_ONLY") == "full":
+    only = os.environ.get("FSTPU_EXP_ONLY")
+    if only == "full":
         return
+    if only == "batch":
+        os.environ["FSTPU_EXP_BATCH"] = "1"
 
     # ---- 0b. A/B: bitonic-network visit-key sort; smaller cell capacity
+    if only == "batch":
+        run_batch(H, W, K)
+        return
     os.environ["FSTPU_NETSORT"] = "1"
     jax.clear_caches()
     t_ns = timeit(full, img_dev, st)
@@ -96,26 +126,7 @@ def main():
 
     # ---- 0c. batched: lax.map vs canvas (per-frame numbering CCA)
     if os.environ.get("FSTPU_EXP_BATCH"):
-        from fast_slic_tpu.parallel.batch import BatchedSlic
-        frames = np.stack([photo(H, W, seed=s + 1) for s in range(16)])
-        for mode in ("map", "canvas"):
-            try:
-                bs = BatchedSlic(num_components=K, compactness=10.0,
-                                 min_size_factor=0.1, batch_mode=mode,
-                                 check_exactness=False)
-                lb = bs.iterate(jnp.asarray(frames), max_iter=10)
-                np.asarray(jnp.sum(lb))
-                t0 = time.perf_counter()
-                for _ in range(8):
-                    bs._state = None
-                    lb = bs.iterate(jnp.asarray(frames), max_iter=10)
-                np.asarray(jnp.sum(lb))
-                dt = (time.perf_counter() - t0) / 8 / 16 * 1e3
-                print(f"batched[{mode}] B=16: {dt:6.2f} ms/frame "
-                      f"({16 * H * W / (dt * 16) / 1e3:.1f} Mpix/s)",
-                      flush=True)
-            except Exception as e:
-                print(f"batched[{mode}] failed: {str(e)[:140]}", flush=True)
+        run_batch(H, W, K)
 
     # ---- 1. serial floor: chained [K]-op blocks
     def kops(nblocks):
