@@ -238,23 +238,25 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     colsel = (j_iota // S == gc_iota).astype(jnp.float32)
 
     def rowx(ref):
-        # exact f32 expansion: exactly one nonzero term per output.
-        # Precision.HIGH (bf16_3x) is exact here: the three bf16 splits of
-        # an f32 value v are non-overlapping 8-bit mantissa chunks whose
-        # f32 sum reconstructs v exactly, the 0/1 selector is bf16-exact,
-        # and each output accumulates the three parts of ONE value — at
-        # half the MXU passes of HIGHEST (validated bit-identical on TPU,
-        # scripts/check_float_precision.py)
+        # exact f32 expansion: exactly one nonzero term per output — the
+        # bf16 splits of an f32 value v are non-overlapping mantissa
+        # chunks whose f32 sum reconstructs v exactly, the 0/1 selector
+        # is bf16-exact, and each output accumulates the parts of ONE
+        # value.  Precision.HIGH (bf16_3x) would be exact at half the MXU
+        # passes, but Mosaic rejects HIGH inside Pallas kernels
+        # ("Unsupported dot precision: HIGH", measured on v5e) — HIGHEST
+        # is the cheapest precision class the TPU compiler accepts that
+        # keeps the reconstruction exact.
         return jax.lax.dot(rowsel, ref[0],
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
+                           precision=jax.lax.Precision.HIGHEST)
 
     expanded = [rowx(r) for r in field_refs]
 
     def lanex(e, s):
         return jax.lax.dot(e[:, s * GW:(s + 1) * GW], colsel,
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
+                           precision=jax.lax.Precision.HIGHEST)
 
     ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
           * stride + rem)
