@@ -236,13 +236,16 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
     return out, chg[::8, 0]
 
 
+# 96-row strips with half-strip phase alternation cover any component of
+# height <= 49 (= 2S+1 at 720p K=1600) wholly inside one strip of one phase,
+# bounding convergence at ~2 passes + confirm.  Measured winner over 64 on
+# real TPU (round 3: 2.19 -> 1.98 ms); 144/192 fail Mosaic compile at 1080p.
+# A/B via the explicit `strip=` parameter of propagate_min_pallas.
+DEFAULT_STRIP = 96
+
+
 def _default_strip() -> int:
-    """96-row strips with half-strip phase alternation cover any component
-    of height <= 49 (= 2S+1 at 720p K=1600) wholly inside one strip of one
-    phase, bounding convergence at ~2 passes + confirm.  FSTPU_CCA_STRIP
-    overrides for A/B (64 = the round-2 geometry)."""
-    import os
-    return int(os.environ.get("FSTPU_CCA_STRIP", "96"))
+    return DEFAULT_STRIP
 
 
 def propagate_min_pallas(labels, m0, strip: int | None = None,

@@ -95,51 +95,11 @@ def visit_order_key(y, x, cfg: StaticConfig):
     return phase * K + jnp.arange(K, dtype=jnp.int32)
 
 
-def _bitonic_sort_last(x):
-    """Ascending bitonic sorting network along the last axis (padded to a
-    power of two with INT32_MAX-like fills by the caller).  Pure jnp
-    min/max/where ops — a candidate replacement for lax.sort's dedicated
-    sort op on short minor axes (the [GH, GW, 9P] visit-key sort runs
-    every iteration; whether the network's ~6 ops/stage fuse into fewer
-    serial regions than one sort op is a measured TPU question — opt in
-    with FSTPU_NETSORT=1).  Exact: produces the identical ascending order
-    (ties are interchangeable values, not payloads)."""
-    n = x.shape[-1]
-    assert (n & (n - 1)) == 0, "pad to a power of two first"
-    lead = x.shape[:-1]
-    stages = n.bit_length() - 1
-    for k in range(1, stages + 1):          # block size 2^k
-        for t in range(k - 1, -1, -1):      # partner distance 2^t
-            d = 1 << t
-            g = n // (2 * d)
-            xr = x.reshape(lead + (g, 2, d))
-            lo = xr[..., 0, :]
-            hi = xr[..., 1, :]
-            # ascending iff bit k of the element index is 0; within the
-            # reshape, element index = block*2d + half*d + lane, so bit k
-            # depends only on the block index
-            blk = np.arange(g, dtype=np.int64)
-            asc = (((blk * 2 * d) >> k) & 1) == 0
-            asc = jnp.asarray(asc.reshape((1,) * len(lead) + (g, 1)))
-            mn = jnp.minimum(lo, hi)
-            mx = jnp.maximum(lo, hi)
-            x = jnp.stack([jnp.where(asc, mn, mx),
-                           jnp.where(asc, mx, mn)], axis=-2
-                          ).reshape(lead + (n,))
-    return x
-
-
 def _sort_candidates(ckey):
     """Sort the [GH, GW, 9P] visit keys ascending (empty slots carry
-    >= 2^30 and sort to the back)."""
-    import os
-    if os.environ.get("FSTPU_NETSORT"):
-        n = ckey.shape[-1]
-        npad = 1 << (n - 1).bit_length()
-        if npad != n:
-            pad = jnp.full(ckey.shape[:-1] + (npad - n,), jnp.int32(2 ** 30))
-            ckey = jnp.concatenate([ckey, pad], axis=-1)
-        return _bitonic_sort_last(ckey)[..., :n]
+    >= 2^30 and sort to the back).  A bitonic min/max network alternative
+    was A/B'd on real TPU in round 3 and measured as noise (NOTES.md);
+    lax.sort is the keeper."""
     return jax.lax.sort(ckey, dimension=-1)
 
 

@@ -97,20 +97,11 @@ def main():
     if only == "full":
         return
     if only == "batch":
-        os.environ["FSTPU_EXP_BATCH"] = "1"
-
-    # ---- 0b. A/B: bitonic-network visit-key sort; smaller cell capacity
-    if only == "batch":
         run_batch(H, W, K)
         return
-    os.environ["FSTPU_NETSORT"] = "1"
-    jax.clear_caches()
-    t_ns = timeit(full, img_dev, st)
-    os.environ.pop("FSTPU_NETSORT")
-    jax.clear_caches()
-    print(f"full iterate w/ netsort: {t_ns:7.2f} ms "
-          f"(delta {t_ns - t_full:+6.2f})", flush=True)
 
+    # ---- 0b. A/B: smaller cell capacity (netsort A/B removed after the
+    # round-3 measurement: delta was noise; lax.sort is the keeper)
     cfg_p3 = StaticConfig(H=H, W=W, K=K, arch="pallas", cell_capacity=3,
                           cand_slots=16)
     def full_p3(image, st_):

@@ -298,25 +298,9 @@ def test_assign_occ_skip_equivalence(rng, monkeypatch):
         return np.asarray(got.assignment), np.asarray(got.min_dists)
 
     a_on, d_on = run()
-    monkeypatch.setenv("FSTPU_OCC_OFF", "1")
+    from fast_slic_tpu.pallas import assign_tpu
+    monkeypatch.setattr(assign_tpu, "OCC_BOUND", False)
     jax.clear_caches()
     a_off, d_off = run()
     np.testing.assert_array_equal(a_on, a_off)
     np.testing.assert_array_equal(d_on, d_off)
-
-
-def test_netsort_build_candidates(rng, monkeypatch):
-    """FSTPU_NETSORT=1 (bitonic network instead of lax.sort for the
-    visit-key compaction) must produce identical candidate lists."""
-    H, W, K = 94, 130, 48
-    cfg = StaticConfig(H=H, W=W, K=K, arch="xla")
-    image = make_image(rng, H, W)
-    st = jax.tree.map(jnp.asarray, cl.initialize_clusters(image, K))
-    cand0, ov0 = jax.jit(lambda a, b, c: pipeline.build_candidates(
-        a, b, c, cfg))(st.y, st.x, st.is_active)
-    monkeypatch.setenv("FSTPU_NETSORT", "1")
-    jax.clear_caches()
-    cand1, ov1 = jax.jit(lambda a, b, c: pipeline.build_candidates(
-        a, b, c, cfg))(st.y, st.x, st.is_active)
-    np.testing.assert_array_equal(np.asarray(cand0), np.asarray(cand1))
-    assert bool(np.asarray(ov0)) == bool(np.asarray(ov1))
