@@ -39,6 +39,112 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Record defense: the dev tunnel/compile service degrades for stretches
+# (tiny blocked ops taking minutes; see NOTES.md "measurement traps"), and the
+# 1-CPU host is sometimes contended by other processes.  A number captured in
+# such a window is garbage, so before trusting ANY measurement the bench
+# (a) times a dependency-chained tiny op synced by a scalar reduce — the
+#     honest per-dispatch round-trip; healthy is ~28-40 ms, degraded is
+#     seconds-to-minutes — against the committed threshold below,
+# (b) checks host load (another CPU-bound process halves reported throughput),
+# (c) waits and re-probes, up to a bounded budget, while degraded,
+# (d) takes the best of N spaced attempts per metric (contention and
+#     degradation only ever make things slower, so max-throughput /
+#     min-latency is the honest estimator for device+dispatch cost), and
+# (e) emits the probe timings, waits, load, and attempt values into the JSON
+#     so a contaminated record is at least self-describing.
+
+TUNNEL_PROBE_HEALTHY_MS = 250.0  # healthy blocked round-trip ~28-40 ms
+LOADAVG_HEALTHY = 1.5            # 1-CPU host: >1.5 means a contending process
+HEALTH_BUDGET_S = 600.0          # max total time spent waiting out degradation
+
+_health_budget_left = [HEALTH_BUDGET_S]
+_health_log = []
+
+
+def _probe_once():
+    """Round-trip time of one tiny blocked dispatch (ms), plus loadavg."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(i, a):
+            return a * jnp.float32(1.000001) + jnp.float32(i)
+        return jnp.sum(jax.lax.fori_loop(0, 64, body, x))
+
+    x = jnp.ones((128,), jnp.float32)
+    np.asarray(chain(x))  # compile + first dispatch outside the timing
+    t0 = time.perf_counter()
+    for i in range(3):
+        np.asarray(chain(x + np.float32(i)))
+    probe_ms = (time.perf_counter() - t0) / 3 * 1e3
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        load = -1.0
+    return probe_ms, load
+
+
+def wait_healthy(section):
+    """Probe tunnel + host; while degraded, sleep and re-probe within the
+    shared HEALTH_BUDGET_S.  Always returns (never raises) — if the budget
+    runs out the bench proceeds and the JSON discloses the degraded probe."""
+    waited = 0.0
+    while True:
+        probe_ms, load = _probe_once()
+        entry = {"section": section, "probe_ms": round(probe_ms, 1),
+                 "loadavg": round(load, 2), "waited_s": round(waited, 1)}
+        healthy = probe_ms <= TUNNEL_PROBE_HEALTHY_MS and load <= LOADAVG_HEALTHY
+        if healthy or _health_budget_left[0] <= 0:
+            entry["healthy"] = healthy
+            _health_log.append(entry)
+            return entry
+        sleep = min(45.0, _health_budget_left[0])
+        _health_budget_left[0] -= sleep
+        waited += sleep
+        time.sleep(sleep)
+
+
+_TRANSIENT_MARKERS = (
+    "500", "INTERNAL", "UNAVAILABLE", "DEADLINE", "FAILED_PRECONDITION",
+    "Connection", "Socket", "remote", "Remote", "timed out", "RESOURCE_EXHAUSTED",
+)
+
+
+def _is_transient(exc):
+    s = repr(exc)
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def best_of(fn, n=3, pick=max, retries=3, spacing_s=3.0):
+    """Run ``fn`` n times (spaced), return (pick(values), attempts-list).
+
+    Each attempt retries transient remote-compile/tunnel failures up to
+    ``retries`` times with backoff; a non-transient error (a real compile
+    bug) fails the attempt immediately.  Raises only if EVERY attempt failed.
+    """
+    values, errors = [], []
+    for i in range(n):
+        if i:
+            time.sleep(spacing_s)
+        backoff = 10.0
+        for attempt in range(retries):
+            try:
+                values.append(fn())
+                break
+            except Exception as e:  # noqa: BLE001 — disclosed below
+                errors.append(str(e)[:200])
+                if not _is_transient(e) or attempt == retries - 1:
+                    break
+                time.sleep(backoff)
+                backoff *= 2
+    if not values:
+        raise RuntimeError("; ".join(errors[-retries:]) or "no attempts ran")
+    return pick(values), {"attempts": [round(v, 2) for v in values],
+                          **({"errors": errors} if errors else {})}
+
 
 def make_image(H, W, seed=0):
     """Real-photo content (the repo's pinned test photograph, bilinearly
@@ -346,21 +452,33 @@ def main():
     arch = os.environ.get("FSTPU_BENCH_ARCH", "pallas")
     reps = int(os.environ.get("FSTPU_BENCH_REPS", "20"))
     B = int(os.environ.get("FSTPU_BENCH_BATCH", "32"))
+    nbest = int(os.environ.get("FSTPU_BENCH_BEST_OF", "3"))
 
-    single = bench_single(H, W, K, max_iter, stride, arch, reps)
-    batched = bench_batched(B, H, W, K, max_iter, stride, arch,
-                            max(3, reps // 2))
-    extras = dict(getattr(bench_batched, "swap_stats", {}))
+    extras = {}
+    wait_healthy("start")
+    single, single_info = best_of(
+        lambda: bench_single(H, W, K, max_iter, stride, arch, reps),
+        n=nbest, pick=max)
+    extras["single_frame_attempts"] = single_info["attempts"]
+
+    wait_healthy("batched")
+    batched, batched_info = best_of(
+        lambda: bench_batched(B, H, W, K, max_iter, stride, arch,
+                              max(3, reps // 2)),
+        n=nbest, pick=max)
+    extras["batched_attempts"] = batched_info["attempts"]
+    extras.update(getattr(bench_batched, "swap_stats", {}))
     try:
         # permanent TPU-compiled parity record (Mosaic kernels vs XLA
         # oracle vs host CCA on this run's hardware)
-        extras["parity"] = bench_parity(H, W, K, max_iter, stride, arch)
+        extras["parity"], _ = best_of(
+            lambda: bench_parity(H, W, K, max_iter, stride, arch),
+            n=1, pick=max)
     except Exception as e:
         extras["parity_error"] = str(e)[:200]
     if os.environ.get("FSTPU_BENCH_CONFIGS", "1") != "0":
         # the full BASELINE.md config matrix (ms per frame/window); each
-        # config is isolated so one transient compile failure cannot erase
-        # the others' records
+        # config is isolated so one failure cannot erase the others' records
         for key, fn in (
             ("cfg1_640x480_K100_msf0_ms", lambda: bench_config1(arch, reps)),
             ("cfg3_1080p_preemptive_ms",
@@ -370,14 +488,13 @@ def main():
             ("cfg5_crf_T5_K1600_C21_ms",
              lambda: bench_config5(max(3, reps // 4))),
         ):
+            wait_healthy(key)
             try:
-                try:
-                    extras[key] = round(fn(), 2)
-                except Exception:
-                    # one retry: the axon remote-compile helper 500s
-                    # transiently under load
-                    time.sleep(5)
-                    extras[key] = round(fn(), 2)
+                val, info = best_of(fn, n=nbest, pick=min)
+                extras[key] = round(val, 2)
+                extras[key + "_attempts"] = info["attempts"]
+                if "errors" in info:
+                    extras[key + "_retried"] = info["errors"]
             except Exception as e:  # keep the headline alive on any failure
                 extras[key + "_error"] = str(e)[:200]
 
@@ -391,6 +508,7 @@ def main():
         "batch": B,
         "batch_mode": getattr(bench_batched, "mode", "map"),
         "fps_720p": round(batched * 1e6 / (H * W), 1),
+        "health": _health_log,
         **extras,
     }))
 
