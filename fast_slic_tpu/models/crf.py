@@ -412,6 +412,31 @@ class SimpleCRF:
             self._dl_cache = (stack, np.asarray(stack))
         return self._dl_cache[1]
 
+    def inferred_stack(self):
+        """Device-resident posteriors: the [T, C, N] jax array left on
+        device by the last :meth:`inference`, or None if no inference ran
+        (or a frame has since materialized/mutated its q on the host).
+
+        A streaming pipeline that consumes posteriors on-device (e.g.
+        feeding ``broadcast_density_to_mask``-style pooling or the next
+        model stage) should read this instead of per-frame
+        ``get_inferred()`` — the latter copies the whole stack to the host
+        (672 KB for T=5, C=21, N=1600; a dispatch-blocking transfer on a
+        remote-attached device), which the reference never has to pay
+        because its buffers are host memory (csimple_crf.pyx:201-204)."""
+        frames = list(self._frames.values())
+        if not frames:
+            return None
+        f0 = frames[0]
+        if f0._q_mode != "device" or f0._q_stack is None:
+            return None
+        stack = f0._q_stack[0]
+        if all(f._q_mode == "device" and f._q_stack is not None
+               and f._q_stack[0] is stack and f._q_stack[1] == t
+               for t, f in enumerate(frames)):
+            return stack
+        return None
+
     def inference(self, max_iter):
         """Mean-field inference over all frames as ONE device program
         (N x infer_once, simple-crf.cpp:62-151).

@@ -181,3 +181,29 @@ def test_inference_matches_numpy(rng):
     for t, f in enumerate(frames):
         np.testing.assert_allclose(f.get_inferred(), qs[t], rtol=2e-4,
                                    atol=1e-6)
+
+
+def test_inferred_stack_device_residency(rng):
+    """inferred_stack() returns the device [T, C, N] posterior stack after
+    inference, matches get_inferred per frame, and goes stale (None) when a
+    frame mutates or materializes its q on the host."""
+    C, N, T = 3, 5, 2
+    crf = SimpleCRF(C, N)
+    frames = []
+    for t in range(T):
+        f = crf.push_frame()
+        f.set_connectivity([[j for j in range(N) if j != i][:2]
+                            for i in range(N)])
+        proba = rng.random(size=(C, N)).astype(np.float32) + 0.05
+        f.set_proba(proba / proba.sum(0))
+        frames.append(f)
+    assert crf.inferred_stack() is None  # nothing inferred yet
+    crf.initialize()
+    crf.inference(2)
+    stack = crf.inferred_stack()
+    assert stack is not None and stack.shape == (T, C, N)
+    got = np.asarray(stack)
+    for t, f in enumerate(frames):
+        np.testing.assert_array_equal(got[t], f.get_inferred())
+    # get_inferred materialized on host -> the device stack is stale
+    assert crf.inferred_stack() is None
