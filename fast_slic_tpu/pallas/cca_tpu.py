@@ -60,7 +60,10 @@ def _doubling_steps(n, reach=None):
 _INT_MIN = -0x80000000
 
 
-def _span_masks(lab, axis, steps, as_flags: bool = False):
+_MASK_STORE_DTYPES = {"i32": jnp.int32, "i8": jnp.int8, "bf16": jnp.bfloat16}
+
+
+def _span_masks(lab, axis, steps, store: str = "i32"):
     """Precompute segmented-doubling span CLAMP VALUES (label-only, so they
     are computed ONCE per kernel pass and reused by every local round — the
     min values change per round, the labels never do).
@@ -69,28 +72,29 @@ def _span_masks(lab, axis, steps, as_flags: bool = False):
     mv = INT_MIN where the spanned labels are uniform (no clamp) and BIG
     (= no contribution) otherwise — one VPU op cheaper than the
     compare/where form.  Only the +1 direction's values are materialized
-    (VMEM: masks dominate the kernel footprint and bound the strip height);
-    the -1 direction re-rolls them per use.
+    (VMEM: masks dominate the kernel footprint and bound strip height x
+    image width); the -1 direction re-rolls them per use.
 
-    as_flags=True stores the uniformity flags as bf16 0/1 instead of i32
-    clamp values (half the VMEM — what lets 144/192-row strips fit — at
-    +1 select per step per round to materialize mv).
+    store selects the mask representation: "i32" keeps the clamp values
+    directly (fastest rounds); "i8" / "bf16" keep the uniformity flags as
+    0/1 in a narrow dtype (1/4 resp. 1/2 the VMEM — what lets the 96-row
+    strips fit 1080p-wide images and 160-row strips fit the 1080p 2-phase
+    cover) at +1 select per step per round to materialize the clamp.
 
-    Returns [mv_plus...] (or [ok_plus...] bf16): entry t covers the span
-    (i - 2^t, i].
+    Returns [mv_plus...] (or [ok_plus...]): entry t covers (i - 2^t, i].
     """
     ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
     oks = [ok]
     for t in range(steps - 1):
         ok = ok * _roll_masked(ok, 1 << t, axis, 0)
         oks.append(ok)
-    if as_flags:
-        return [o.astype(jnp.bfloat16) for o in oks]
+    if store != "i32":
+        dt = _MASK_STORE_DTYPES[store]
+        return [o.astype(dt) for o in oks]
     return [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
 
 
-def _seg_doubling(m, lab, axis, reach=None, masks=None,
-                  as_flags: bool = False):
+def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32"):
     """Segmented min-doubling along `axis`, both directions.
 
     m: int32 running min (candidate component ids), lab: labels.
@@ -101,17 +105,17 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None,
     """
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
-        masks = _span_masks(lab, axis, steps, as_flags)
+        masks = _span_masks(lab, axis, steps, store)
     mvp = masks
     for direction in (1, -1):
         cur = m
         for t in range(steps):
             sh = direction * (1 << t)
-            if as_flags:
+            if store != "i32":
+                zero = masks[t].dtype.type(0)
                 okv = (mvp[t] if direction == 1
-                       else _roll_masked(mvp[t], -(1 << t), axis,
-                                         jnp.bfloat16(0)))
-                mv = jnp.where(okv != 0, _INT_MIN, _BIG)
+                       else _roll_masked(mvp[t], -(1 << t), axis, zero))
+                mv = jnp.where(okv != zero, _INT_MIN, _BIG)
             else:
                 mv = (mvp[t] if direction == 1
                       else _roll_masked(mvp[t], -(1 << t), axis, _BIG))
@@ -122,7 +126,7 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None,
 
 
 def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
-                    md_ref, out_ref, chg_ref, *, reach):
+                    md_ref, out_ref, chg_ref, *, reach, store):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -171,17 +175,14 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
         # extra fixpoint passes).
         h_steps = _doubling_steps(lab.shape[1], reach)
         v_steps = _doubling_steps(lab.shape[0], reach)
-        # taller strips (144/192: the 2-phase cover for 1080p components)
-        # only fit VMEM with bf16 flag masks (+1 select per step per round)
-        flags = lab.shape[0] > 96
-        h_masks = _span_masks(lab, 1, h_steps, flags)
-        v_masks = _span_masks(lab, 0, v_steps, flags)
+        h_masks = _span_masks(lab, 1, h_steps, store)
+        v_masks = _span_masks(lab, 0, v_steps, store)
 
         def one_round(mm):
             mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks,
-                               as_flags=flags)
+                               store=store)
             mm = _seg_doubling(mm, lab, axis=0, reach=reach, masks=v_masks,
-                               as_flags=flags)
+                               store=store)
             return mm
 
         m2 = one_round(m)
@@ -201,8 +202,10 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
             jnp.any(m != m0).astype(jnp.int32), chg_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("strip", "interpret", "reach"))
-def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
+@functools.partial(jax.jit, static_argnames=("strip", "interpret", "reach",
+                                              "store"))
+def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
+               store: str):
     """One sweep over the strip grid.  ``active`` int32 [n_strips]: strips
     with 0 copy through.  Returns (m', changed int32 [n_strips])."""
     Hp, W = labels.shape
@@ -224,7 +227,7 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
     act2 = jnp.broadcast_to(active[:, None, None].astype(jnp.int32),
                             (n_strips, 8, 128)).reshape(n_strips * 8, 128)
     out, chg = pl.pallas_call(
-        functools.partial(_cc_pass_kernel, reach=reach),
+        functools.partial(_cc_pass_kernel, reach=reach, store=store),
         grid=(n_strips,),
         in_specs=[flag_spec, strip_spec, edge_spec(-1), edge_spec(+1),
                   strip_spec, edge_spec(-1), edge_spec(+1)],
@@ -239,18 +242,60 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int):
 # 96-row strips with half-strip phase alternation cover any component of
 # height <= 49 (= 2S+1 at 720p K=1600) wholly inside one strip of one phase,
 # bounding convergence at ~2 passes + confirm.  Measured winner over 64 on
-# real TPU (round 3: 2.19 -> 1.98 ms); 144/192 fail Mosaic compile at 1080p.
-# A/B via the explicit `strip=` parameter of propagate_min_pallas.
+# real TPU (round 3: 2.19 -> 1.98 ms).  A/B via the explicit `strip=`
+# parameter of propagate_min_pallas.
 DEFAULT_STRIP = 96
 
+# Mosaic's scoped-VMEM stack limit per kernel.  The strip kernel's footprint
+# is dominated by the precomputed span masks ((h_steps + v_steps) buffers of
+# [strip, Wp]) plus ~9 [strip, Wp] i32 temporaries (calibrated against a
+# measured OOM: strip=96 x Wp=1920 x i32 masks allocated 20.43 MB — the
+# round-3 "Mosaic helper exit 1" at 1080p was exactly this limit; 720p's
+# 13.5 MB estimate compiles).  Narrower mask stores shrink only the mask
+# term.  Keep a safety margin below the hard 16 MB.
+_VMEM_LIMIT = 15 * 2 ** 20
+_TEMP_BUFFERS = 9
 
-def _default_strip() -> int:
-    return DEFAULT_STRIP
+
+def _vmem_estimate(strip: int, Wp: int, reach: int, store: str) -> int:
+    h_steps = _doubling_steps(Wp, reach)
+    v_steps = _doubling_steps(strip, reach)
+    itemsize = {"i32": 4, "bf16": 2, "i8": 1}[store]
+    masks = (h_steps + v_steps) * strip * Wp * itemsize
+    io = (3 * strip + 4 * 8) * Wp * 4
+    temps = _TEMP_BUFFERS * strip * Wp * 4
+    return masks + io + temps
+
+
+def _choose_strip_store(Wp: int, reach: int, strip: int | None,
+                        store: str | None):
+    """Pick (strip, mask store) under the VMEM budget.
+
+    Preference order (measured round 3/4): the i32 clamp masks are the
+    fastest rounds, so keep them while they fit; when the image is too wide
+    (1080p), fall to i8 flag masks at the same strip before shrinking the
+    strip (phase cover beats round cost).  An explicitly passed strip keeps
+    the A/B meaning: only the store degrades to fit."""
+    if strip is not None:
+        if store is None:
+            store = next((s for s in ("i32", "i8")
+                          if _vmem_estimate(strip, Wp, reach, s)
+                          <= _VMEM_LIMIT), "i8")
+        return strip, store
+    for cand_strip, cand_store in ((DEFAULT_STRIP, "i32"),
+                                   (DEFAULT_STRIP, "i8"),
+                                   (64, "i32"), (64, "i8"), (32, "i8")):
+        if store is not None and cand_store != store:
+            continue
+        if _vmem_estimate(cand_strip, Wp, reach, cand_store) <= _VMEM_LIMIT:
+            return cand_strip, cand_store
+    return 32, store or "i8"
 
 
 def propagate_min_pallas(labels, m0, strip: int | None = None,
                          interpret: bool | None = None,
-                         reach: int | None = None):
+                         reach: int | None = None,
+                         store: str | None = None):
     """Propagate the component-wise minimum of m0 over 4-connected
     equal-label regions to fixpoint.  labels, m0: [H, W] int32 (use _BIG-like
     large values in m0 for "no value here").
@@ -265,12 +310,12 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
     resolves in a single pass of the opposite phase.  Real maps converge in
     ~2 phase pairs (+1 to confirm)."""
     H, W = labels.shape
-    if strip is None:
-        strip = _default_strip()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if reach is None:
         reach = W
+    Wp_probe = -(-W // 128) * 128
+    strip, store = _choose_strip_store(Wp_probe, reach, strip, store)
     half = strip // 2
     Hp = -(-H // strip) * strip
     Wp = -(-W // 128) * 128
@@ -301,7 +346,8 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
     def nat_pass(m, chunk):
         d = dilate(chunk)
         active = d.reshape(n_strips, 2).max(axis=1)
-        m1, chg = _cc_passes(lab_p, m, active, strip, interpret, reach)
+        m1, chg = _cc_passes(lab_p, m, active, strip, interpret, reach,
+                             store)
         return m1, jnp.broadcast_to(chg[:, None],
                                     (n_strips, 2)).reshape(-1)
 
@@ -312,7 +358,8 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
                              dpad[2 * jnp.arange(n_strips + 1) + 1])
         ms = jnp.full((Hp + strip, Wp), _BIG, jnp.int32
                       ).at[half:half + Hp, :].set(m)
-        ms, chg = _cc_passes(lab_s, ms, active, strip, interpret, reach)
+        ms, chg = _cc_passes(lab_s, ms, active, strip, interpret, reach,
+                             store)
         chunk2 = chg[(cidx + 1) // 2]
         return ms[half:half + Hp, :], chunk2
 
@@ -332,9 +379,10 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
 
 def connected_components_pallas(labels, strip: int | None = None,
                                 interpret: bool | None = None,
-                                reach: int | None = None):
+                                reach: int | None = None,
+                                store: str | None = None):
     """[H, W] labels -> [H, W] component ids (min linear pixel index)."""
     H, W = labels.shape
     iota = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
             + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-    return propagate_min_pallas(labels, iota, strip, interpret, reach)
+    return propagate_min_pallas(labels, iota, strip, interpret, reach, store)
