@@ -60,9 +60,6 @@ def _doubling_steps(n, reach=None):
 _INT_MIN = -0x80000000
 
 
-_MASK_STORE_DTYPES = {"i32": jnp.int32, "i8": jnp.int8, "bf16": jnp.bfloat16}
-
-
 def _span_masks(lab, axis, steps, store: str = "i32"):
     """Precompute segmented-doubling span CLAMP VALUES (label-only, so they
     are computed ONCE per kernel pass and reused by every local round — the
@@ -75,22 +72,28 @@ def _span_masks(lab, axis, steps, store: str = "i32"):
     (VMEM: masks dominate the kernel footprint and bound strip height x
     image width); the -1 direction re-rolls them per use.
 
-    store selects the mask representation: "i32" keeps the clamp values
-    directly (fastest rounds); "i8" / "bf16" keep the uniformity flags as
-    0/1 in a narrow dtype (1/4 resp. 1/2 the VMEM — what lets the 96-row
-    strips fit 1080p-wide images and 160-row strips fit the 1080p 2-phase
-    cover) at +1 select per step per round to materialize the clamp.
+    store selects the mask representation: "i32" keeps one clamp-value
+    buffer PER STEP (fastest rounds — no unpack); "packed" bit-packs all
+    steps' 0/1 uniformity flags into ONE i32 buffer (bit t = span (i-2^t,
+    i] is label-uniform), cutting the mask footprint by the step count —
+    what lets 96-row strips fit 1080p-wide images.  Narrow-dtype stores
+    (i8/bf16) do NOT help: Mosaic lays sub-32-bit vectors out 32-bit
+    unpacked (measured: identical scoped-VMEM OOM), and comparing them
+    against 0 trips an i1-relayout bug.
 
-    Returns [mv_plus...] (or [ok_plus...]): entry t covers (i - 2^t, i].
+    Returns [mv_plus...] (i32) or the single packed flag array.
     """
     ok = (lab == _roll_masked(lab, 1, axis, -2)).astype(jnp.int32)
+    if store == "packed":
+        packed = ok
+        for t in range(steps - 1):
+            ok = ok * _roll_masked(ok, 1 << t, axis, 0)
+            packed = packed | (ok << (t + 1))
+        return packed
     oks = [ok]
     for t in range(steps - 1):
         ok = ok * _roll_masked(ok, 1 << t, axis, 0)
         oks.append(ok)
-    if store != "i32":
-        dt = _MASK_STORE_DTYPES[store]
-        return [o.astype(dt) for o in oks]
     return [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
 
 
@@ -106,19 +109,21 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32"):
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
         masks = _span_masks(lab, axis, steps, store)
-    mvp = masks
     for direction in (1, -1):
         cur = m
         for t in range(steps):
             sh = direction * (1 << t)
-            if store != "i32":
-                zero = masks[t].dtype.type(0)
-                okv = (mvp[t] if direction == 1
-                       else _roll_masked(mvp[t], -(1 << t), axis, zero))
-                mv = jnp.where(okv != zero, _INT_MIN, _BIG)
+            if store == "packed":
+                # unpack bit t and materialize the clamp by a WRAPPING add
+                # (BIG + 1 == INT_MIN in two's complement — one VPU op
+                # cheaper than compare+select, and compare-free: narrow
+                # compares trip a Mosaic i1-relayout bug)
+                okv = (masks >> t) & 1
+                mv = (okv if direction == 1
+                      else _roll_masked(okv, -(1 << t), axis, 0)) + _BIG
             else:
-                mv = (mvp[t] if direction == 1
-                      else _roll_masked(mvp[t], -(1 << t), axis, _BIG))
+                mv = (masks[t] if direction == 1
+                      else _roll_masked(masks[t], -(1 << t), axis, _BIG))
             cur_sh = _roll_masked(cur, sh, axis, _BIG)
             cur = jnp.minimum(cur, jnp.maximum(cur_sh, mv))
         m = jnp.minimum(m, cur)
@@ -246,50 +251,43 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
 # parameter of propagate_min_pallas.
 DEFAULT_STRIP = 96
 
-# Mosaic's scoped-VMEM stack limit per kernel.  The strip kernel's footprint
-# is dominated by the precomputed span masks ((h_steps + v_steps) buffers of
-# [strip, Wp]) plus ~9 [strip, Wp] i32 temporaries (calibrated against a
-# measured OOM: strip=96 x Wp=1920 x i32 masks allocated 20.43 MB — the
-# round-3 "Mosaic helper exit 1" at 1080p was exactly this limit; 720p's
-# 13.5 MB estimate compiles).  Narrower mask stores shrink only the mask
-# term.  Keep a safety margin below the hard 16 MB.
+# Mosaic's scoped-VMEM stack limit per kernel.  Calibrated against measured
+# compile OOMs at Wp=1920 (each [96, 1920] i32 buffer = 0.74 MB):
+#   strip=96/i32    -> 20.43 MB  =  14 mask buffers + io + ~9.5 temp buffers
+#   strip=96/packed -> 21.11 MB  =   2 mask buffers + io + ~22.5 temp buffers
+# i.e. the live TEMPORARIES dominate, and the packed store's per-step
+# unpack (shift/and/add) pins ~13 MORE temp buffers than it saves in mask
+# storage — so "packed" never wins under this Mosaic allocator and the
+# chooser prefers i32 at shrinking strip heights.  (Sub-32-bit mask dtypes
+# are no option at all: Mosaic lays i8/bf16 vectors out 32-bit unpacked and
+# their compares trip an i1-relayout bug.)  Keep margin below the hard 16 MB.
 _VMEM_LIMIT = 15 * 2 ** 20
-_TEMP_BUFFERS = 9
+_TEMP_BUFFERS = {"i32": 10, "packed": 23}
 
 
 def _vmem_estimate(strip: int, Wp: int, reach: int, store: str) -> int:
     h_steps = _doubling_steps(Wp, reach)
     v_steps = _doubling_steps(strip, reach)
-    itemsize = {"i32": 4, "bf16": 2, "i8": 1}[store]
-    masks = (h_steps + v_steps) * strip * Wp * itemsize
+    n_bufs = 2 if store == "packed" else (h_steps + v_steps)
+    masks = n_bufs * strip * Wp * 4
     io = (3 * strip + 4 * 8) * Wp * 4
-    temps = _TEMP_BUFFERS * strip * Wp * 4
+    temps = _TEMP_BUFFERS[store] * strip * Wp * 4
     return masks + io + temps
 
 
 def _choose_strip_store(Wp: int, reach: int, strip: int | None,
                         store: str | None):
-    """Pick (strip, mask store) under the VMEM budget.
-
-    Preference order (measured round 3/4): the i32 clamp masks are the
-    fastest rounds, so keep them while they fit; when the image is too wide
-    (1080p), fall to i8 flag masks at the same strip before shrinking the
-    strip (phase cover beats round cost).  An explicitly passed strip keeps
-    the A/B meaning: only the store degrades to fit."""
+    """Pick (strip, mask store) under the VMEM budget (see the calibration
+    note above: i32 is both the fastest and the smallest-footprint store in
+    practice, so the fallback ladder only shrinks the strip).  An explicitly
+    passed strip keeps the A/B meaning: only the store is resolved."""
     if strip is not None:
-        if store is None:
-            store = next((s for s in ("i32", "i8")
-                          if _vmem_estimate(strip, Wp, reach, s)
-                          <= _VMEM_LIMIT), "i8")
-        return strip, store
-    for cand_strip, cand_store in ((DEFAULT_STRIP, "i32"),
-                                   (DEFAULT_STRIP, "i8"),
-                                   (64, "i32"), (64, "i8"), (32, "i8")):
-        if store is not None and cand_store != store:
-            continue
+        return strip, store or "i32"
+    for cand_strip in (DEFAULT_STRIP, 64, 48, 32):
+        cand_store = store or "i32"
         if _vmem_estimate(cand_strip, Wp, reach, cand_store) <= _VMEM_LIMIT:
             return cand_strip, cand_store
-    return 32, store or "i8"
+    return 32, store or "i32"
 
 
 def propagate_min_pallas(labels, m0, strip: int | None = None,

@@ -62,8 +62,8 @@ def main():
     print("assignment ready", flush=True)
 
     ref_out = None
-    variants = [(64, "i32"), (96, "i8"), (128, "i8"), (160, "i8"),
-                (96, "i32")]
+    variants = [(64, "i32"), (96, "packed"), (128, "packed"),
+                (160, "packed"), (64, "packed")]
     for strip, store in variants:
         est = _vmem_estimate(strip, 1920, reach, store)
         tag = f"strip={strip:3d} store={store:4s} est={est/2**20:5.1f}MB"

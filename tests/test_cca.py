@@ -130,16 +130,16 @@ def test_connected_components_leaders(rng):
 
 
 def test_pallas_strip_store_variants_identical(rng):
-    # mask store ("i32" clamp values vs "i8"/"bf16" flags) and strip height
-    # are pure VMEM/perf knobs: outputs must be identical (the VMEM chooser
-    # picks them per image width; 1080p falls to i8 — the round-3 Mosaic
-    # OOM fix)
+    # mask store ("i32" per-step clamp values vs "packed" bit-packed flags)
+    # and strip height are pure VMEM/perf knobs: outputs must be identical
+    # (the VMEM chooser picks them per image width; 1080p falls to packed —
+    # the round-3 Mosaic OOM fix)
     from fast_slic_tpu.pallas.cca_tpu import connected_components_pallas
     labels = rng.integers(0, 6, size=(70, 90)).astype(np.int32)
     ref = np.asarray(connected_components_pallas(
         jnp.asarray(labels), strip=96, store="i32", interpret=True))
-    for strip, store in ((96, "i8"), (96, "bf16"), (64, "i8"), (32, "i8"),
-                         (160, "i8")):
+    for strip, store in ((96, "packed"), (64, "packed"), (32, "packed"),
+                         (160, "packed")):
         out = np.asarray(connected_components_pallas(
             jnp.asarray(labels), strip=strip, store=store, interpret=True))
         np.testing.assert_array_equal(out, ref, err_msg=f"{strip}/{store}")
