@@ -99,10 +99,6 @@ class StaticConfig:
     preemptive: bool = False
     float_color: bool = True       # ContextRealDistNoQ.float_color (no-op; context.h:116)
     debug_mode: bool = False
-    # Max clusters stored per candidate cell.  Each pixel considers the 3x3
-    # neighborhood of its S-cell, i.e. 9*cell_capacity candidate clusters.
-    # Seeding places ~1 cluster per cell, so 4 is a generous safety factor.
-    cell_capacity: int = 4
     # Cap on connected components handled on-device by CCA; more than this
     # (pathologically fragmented maps) flags a host re-run.  0 = auto-size
     # from the pixel count: raw SLIC assignments of natural images fragment

@@ -70,21 +70,18 @@ def _temporal_energy(c1, c2, p):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_inference(T: int, C: int, N: int, D: int,
-                        from_unaries: bool = False):
-    """One jitted mean-field solver for a (frames, classes, nodes, degree)
-    shape.  max_iter is a traced scalar driving a fori_loop.
+def _compiled_energies(T: int, N: int, D: int, params_key: tuple):
+    """Jitted graph-energy staging: the densified weighted adjacency
+    ``W [T, N, N]`` plus the temporal coupling vectors.  Split out of the
+    mean-field solver so a streaming caller pays its scatter-add cost ONCE
+    per graph (it only changes when a frame's features/connectivity/params
+    change), not once per ``inference()`` call.  Params ride as compile-time
+    constants: they change rarely and each runtime arg handle costs dispatch
+    round-trip time on a remote-attached device."""
+    params = jnp.asarray(np.array(params_key, np.float32))
 
-    With ``from_unaries`` the initial q = exp(-unary) (SimpleCRF::initialize,
-    simple-crf.cpp:153-157) is computed IN-GRAPH, so a streaming caller that
-    just did ``initialize(); inference(n)`` uploads nothing: unaries/graph
-    are device-cached and posteriors stay on device until someone asks
-    (q is then ignored — pass any array of the right shape)."""
-
-    def run(q, unaries, yxmrgb, nbr, params, compat, max_iter):
-        if from_unaries:
-            q = jnp.exp(-unaries)
-        # q, unaries: [T, C, N]; yxmrgb: [T, N, 6]; nbr: [T, N, D] (-1 pad)
+    def run(yxmrgb, nbr):
+        # yxmrgb: [T, N, 6]; nbr: [T, N, D] (-1 pad)
         valid = nbr >= 0
         safe = jnp.where(valid, nbr, 0)
 
@@ -115,8 +112,28 @@ def _compiled_inference(T: int, C: int, N: int, D: int,
             w_prev = e_t * jnp.sqrt(m[:-1] / m_center[1:])    # into frame t
             w_next = e_t * jnp.sqrt(m[1:] / m_center[:-1])    # into frame t-1
         else:
-            w_prev = w_next = None
+            # T == 1 has no temporal coupling; zero-size placeholders keep
+            # the mean-field signature uniform
+            w_prev = w_next = jnp.zeros((0, N), jnp.float32)
+        return W, w_prev, w_next
 
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_meanfield(T: int, C: int, N: int, from_unaries: bool,
+                        compat_key: tuple, max_iter: int):
+    """Jitted mean-field loop over pre-staged energies (N x infer_once,
+    simple-crf.cpp:62-151).  compat/max_iter are compile-time constants
+    (see _compiled_energies for why).
+
+    With ``from_unaries`` the initial q = exp(-unary) (SimpleCRF::initialize,
+    simple-crf.cpp:153-157) is computed IN-GRAPH, so a streaming caller that
+    just did ``initialize(); inference(n)`` uploads nothing: unaries/graph
+    are device-cached and posteriors stay on device until someone asks."""
+    compat = jnp.asarray(np.array(compat_key, np.float32))
+
+    def body_factory(unaries, W, w_prev, w_next):
         def body(_, q):
             msg = jnp.einsum("tij,tcj->tci", W, q,
                              preferred_element_type=jnp.float32,
@@ -130,8 +147,17 @@ def _compiled_inference(T: int, C: int, N: int, D: int,
             new_q = jnp.exp(-(unaries + gathered))
             sums = jnp.maximum(jnp.sum(new_q, axis=1, keepdims=True), 1e-5)
             return new_q / sums
+        return body
 
-        return jax.lax.fori_loop(0, max_iter, body, q)
+    if from_unaries:
+        def run(unaries, W, w_prev, w_next):
+            q = jnp.exp(-unaries)
+            return jax.lax.fori_loop(
+                0, max_iter, body_factory(unaries, W, w_prev, w_next), q)
+    else:
+        def run(q, unaries, W, w_prev, w_next):
+            return jax.lax.fori_loop(
+                0, max_iter, body_factory(unaries, W, w_prev, w_next), q)
 
     return jax.jit(run)
 
@@ -329,7 +355,7 @@ class SimpleCRF:
         self._next_time = 0
         self._cache = None  # device-side (nbr, yxmrgb, unaries) staging
         self._dl_cache = None  # (device stack, host copy) of posteriors
-        self._param_cache = None  # device copies of params/compat/max_iter
+        self._energy_cache = None  # staged (W, w_prev, w_next) per graph+params
 
     # params as properties, mirroring csimple_crf.pyx:248-302
     def _param_prop(name):  # noqa: N805
@@ -442,10 +468,14 @@ class SimpleCRF:
         (N x infer_once, simple-crf.cpp:62-151).
 
         Device-resident streaming: graph/unary staging is cached until a
-        frame mutates; posteriors live on device between calls (a repeat
+        frame mutates; the densified pairwise energies (the expensive
+        scatter-add) are staged by their own jitted program and cached per
+        (graph, params); posteriors live on device between calls (a repeat
         inference continues from the device stack, an initialize() is
         folded into the graph as exp(-unary)); nothing is copied back until
-        some frame's get_inferred() asks."""
+        some frame's get_inferred() asks.  Steady state, a
+        ``initialize(); inference(n)`` cycle is ONE device dispatch with two
+        input handles (unaries + the staged W) and one output."""
         if not self._frames:
             return
         frames = list(self._frames.values())
@@ -462,34 +492,32 @@ class SimpleCRF:
             )
         nbr_d, yxmrgb_d, unaries_d = self._cache
 
+        params_key = tuple(float(v) for v in self.params.as_array())
+        if (self._energy_cache is None
+                or self._energy_cache[0] is not self._cache
+                or self._energy_cache[1] != params_key):
+            efn = _compiled_energies(T, N, int(nbr_d.shape[-1]), params_key)
+            W, w_prev, w_next = efn(yxmrgb_d, nbr_d)
+            self._energy_cache = (self._cache, params_key, W, w_prev, w_next)
+        _, _, W, w_prev, w_next = self._energy_cache
+
         modes = {f._q_mode for f in frames}
         from_unaries = modes == {"unary"}
+        compat_key = tuple(float(v) for v in self.compat_by_class)
+        fn = _compiled_meanfield(T, C, N, from_unaries, compat_key,
+                                 int(max_iter))
         if from_unaries:
-            q_in = unaries_d  # ignored by the from_unaries program
-        elif modes == {"device"} and all(
-                f._q_stack is not None
-                and f._q_stack[0] is frames[0]._q_stack[0]
-                and f._q_stack[1] == t for t, f in enumerate(frames)):
-            q_in = frames[0]._q_stack[0]  # continue from the device stack
+            out = fn(unaries_d, W, w_prev, w_next)
         else:
-            q_in = jnp.asarray(np.stack([f._materialize_q()
-                                         for f in frames]))
-
-        # device copies of the scalar-ish inputs are cached: a streaming
-        # loop must not pay a host->device transfer per call for params
-        # that did not change
-        pa = self.params.as_array()
-        key = (pa.tobytes(), self.compat_by_class.tobytes(), int(max_iter))
-        if self._param_cache is None or self._param_cache[0] != key:
-            self._param_cache = (key, jnp.asarray(pa),
-                                 jnp.asarray(self.compat_by_class),
-                                 jnp.int32(max_iter))
-        _, params_d, compat_d, max_iter_d = self._param_cache
-
-        fn = _compiled_inference(T, C, N, int(nbr_d.shape[-1]),
-                                 from_unaries)
-        out = fn(q_in, unaries_d, yxmrgb_d, nbr_d, params_d, compat_d,
-                 max_iter_d)
+            if modes == {"device"} and all(
+                    f._q_stack is not None
+                    and f._q_stack[0] is frames[0]._q_stack[0]
+                    and f._q_stack[1] == t for t, f in enumerate(frames)):
+                q_in = frames[0]._q_stack[0]  # continue from the device stack
+            else:
+                q_in = jnp.asarray(np.stack([f._materialize_q()
+                                             for f in frames]))
+            out = fn(q_in, unaries_d, W, w_prev, w_next)
         self._dl_cache = None
         for t, f in enumerate(frames):
             f._q_mode = "device"

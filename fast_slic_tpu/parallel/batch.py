@@ -217,8 +217,7 @@ class BatchedSlic:
             preemptive=self.preemptive)
         if self._capacity_boost:
             # slots cap 48: see runner.py escalation (VMEM budget)
-            kw["cell_capacity"] = 4 * (2 ** self._capacity_boost)
-            kw["cand_slots"] = min(9 * kw["cell_capacity"], 48)
+            kw["cand_slots"] = min(16 * (2 ** self._capacity_boost), 48)
         if self._use_canvas():
             B_local = B if self.mesh is None else B // self.mesh.shape["data"]
             return canvas_lib.make_canvas_config(

@@ -95,86 +95,80 @@ def visit_order_key(y, x, cfg: StaticConfig):
     return phase * K + jnp.arange(K, dtype=jnp.int32)
 
 
-def _sort_candidates(ckey):
-    """Sort the [GH, GW, 9P] visit keys ascending (empty slots carry
-    >= 2^30 and sort to the back).  A bitonic min/max network alternative
-    was A/B'd on real TPU in round 3 and measured as noise (NOTES.md);
-    lax.sort is the keeper."""
-    return jax.lax.sort(ckey, dimension=-1)
-
-
 def build_candidates(y, x, is_active, cfg: StaticConfig, key=None):
-    """Bucket clusters into S-cells and build per-cell candidate lists.
-
-    Returns int32 [GH, GW, 9*P] of cluster ids (-1 = empty slot): the 3x3
-    cell neighborhood, P clusters per cell, *sorted by visit order* (see
+    """Build per-cell candidate lists: for every S-cell, the clusters whose
+    center lies in its 3x3 cell neighborhood, *sorted by visit order* (see
     visit_order_key) so that ties can be broken by slot index.  Any cluster
     whose center is within +-S of a pixel in cell (ci, cj) lies in that
     neighborhood — the same locality fact the reference's checkerboard
     partition exploits (context.cpp:214-221), used gather-side here.
+    Returns (int32 [GH, GW, cand_slots] of cluster ids, -1 = empty slot;
+    bool overflow flag).
 
-    Bucketing is deterministic: clusters are stably sorted by cell id;
-    overflow beyond P is dropped (seeding gives ~1 cluster/cell,
-    P=cell_capacity is headroom; tests assert occupancy fits).
+    Scatter-side formulation: each cluster is replicated into the (up to 9)
+    cells whose candidate list it belongs to, the [9K] (cell, visit-key)
+    pairs are sorted lexicographically by ONE two-key sort, and the within-
+    cell rank (a cand_slots-wide shifted-compare window over the now-
+    contiguous same-cell runs) gives each entry its slot.  This replaces the
+    earlier gather-side pipeline (bucket K into per-cell P-lists, pad,
+     9-neighbor concat to [GH, GW, 9P], THEN sort the 9P slots per cell —
+    the dominant candidate-build cost, and at canvas scale a B-times-taller
+    sort).  The output is identical: the within-cell visit-key order is
+    produced directly by the lexicographic sort, and the slot capacity is
+    cand_slots with no intermediate per-cell capacity to overflow.
+
+    Overflow (> cand_slots real candidates for some cell) is flagged so the
+    caller can re-run with a larger capacity; the run's output ranks the
+    first-visited cand_slots candidates, dropping the latest-visited —
+    deterministic, and strictly fewer drop cases than the old two-stage
+    capacity (which could drop a candidate whose own cell held > P clusters
+    even when every neighborhood list had room).
     """
     GH, GW = cell_grid_shape(cfg)
-    S, K, P = cfg.S, cfg.K, cfg.cell_capacity
+    S, K = cfg.S, cfg.K
+    C = cfg.cand_slots
     num_cells = GH * GW
 
     ci = jnp.clip(y.astype(jnp.int32) // S, 0, GH - 1)
     cj = jnp.clip(x.astype(jnp.int32) // S, 0, GW - 1)
-    cell = ci * GW + cj
-    cell = jnp.where(is_active != 0, cell, num_cells)  # inactive -> sentinel
 
     if key is None:
         key = visit_order_key(y, x, cfg)
     # (spatial shards pass a key computed from GLOBAL coordinates so the
     # reference's phase pattern survives the row shift)
 
-    # One stable multi-operand sort replaces argsort + two [K] gathers, and
-    # the within-cell rank comes from a P-wide shifted-compare window
-    # instead of an associative_scan (a log-depth chain of small serial
-    # ops): same-cell entries are CONTIGUOUS after the sort, so the d-th
-    # predecessor is same-cell iff rank >= d, i.e. the window sum is
-    # exactly min(true_rank, P) — all this path needs (rank == P already
-    # means "dropped + overflow", cfast_slic has no analog: gather-side
-    # bucketing is ours).
-    sc, okey = jax.lax.sort((cell, key), num_keys=1, is_stable=True)
-    rank = jnp.zeros([K], jnp.int32)
-    for d in range(1, min(P, K - 1) + 1):
+    active = is_active != 0
+    cells9 = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni = ci + di
+            nj = cj + dj
+            ok = active & (ni >= 0) & (ni < GH) & (nj >= 0) & (nj < GW)
+            cells9.append(jnp.where(ok, ni * GW + nj, num_cells))
+    cell9 = jnp.concatenate(cells9)                    # [9K]
+    key9 = jnp.concatenate([key] * 9)                  # [9K]
+
+    # Lexicographic (cell, visit-key) sort: composite keys are unique for
+    # valid entries (a cluster appears at most once per cell), so the order
+    # is deterministic without stability.
+    sc, okey = jax.lax.sort((cell9, key9), num_keys=2)
+    M = int(sc.shape[0])
+    rank = jnp.zeros([M], jnp.int32)
+    for d in range(1, min(C, M - 1) + 1):
         same = jnp.concatenate(
             [jnp.zeros([d], bool), sc[d:] == sc[:-d]])
         rank = rank + same.astype(jnp.int32)
-    target = jnp.where((rank < P) & (sc < num_cells), sc * P + rank, num_cells * P)
 
-    def bucketize(values, fill):
-        b = jnp.full([num_cells * P + 1], fill, jnp.int32).at[target].set(values)
-        b = b[:-1].reshape(GH, GW, P)
-        padded = jnp.full([GH + 2, GW + 2, P], fill, jnp.int32)
-        padded = padded.at[1:-1, 1:-1, :].set(b)
-        neigh = [
-            padded[1 + di: 1 + di + GH, 1 + dj: 1 + dj + GW, :]
-            for di in (-1, 0, 1)
-            for dj in (-1, 0, 1)
-        ]
-        return jnp.concatenate(neigh, axis=-1)  # [GH, GW, 9P]
-
+    valid = sc < num_cells
+    kept = valid & (rank < C)
+    overflow = jnp.any(valid & (rank >= C))
+    target = jnp.where(kept, sc * C + rank, num_cells * C)
     # The visit key is phase*K + cluster_number, so the cluster id is
-    # recoverable as key % K — sort ONE operand instead of carrying ids as
-    # a payload (the sort over the 9P slots runs every iteration and is the
-    # dominant cost of candidate building on big canvases).
-    ckey = bucketize(okey, jnp.int32(2 ** 30))
-    ckey = _sort_candidates(ckey)
-
-    # Compaction: valid candidates are now in the leading slots; truncate to
-    # cand_slots.  Overflow (a dropped real candidate, either here or in the
-    # P-per-cell bucketing) is flagged so the caller can re-run with a
-    # larger capacity.
-    overflow = jnp.any((rank >= P) & (sc < num_cells))
-    C = min(ckey.shape[-1], cfg.cand_slots)
-    if C < ckey.shape[-1]:
-        overflow = overflow | (ckey[:, :, C] < 2 ** 30).any()
-        ckey = ckey[:, :, :C]
+    # recoverable as key % K — scatter the key and derive ids, instead of
+    # carrying ids as a second payload.
+    ckey = jnp.full([num_cells * C + 1], jnp.int32(2 ** 30)
+                    ).at[target].set(okey)
+    ckey = ckey[:-1].reshape(GH, GW, C)
     cand = jnp.where(ckey < 2 ** 30, ckey % K, -1)
     return cand, overflow
 
@@ -200,7 +194,7 @@ class IterateOut(NamedTuple):
     raw_assignment: jnp.ndarray  # pre-CCA assignment (int32, UNASSIGNED ok)
     cca_tie: jnp.ndarray         # bool: host CCA re-run needed for bit-parity
     cand_overflow: jnp.ndarray   # bool: candidate capacity exceeded; re-run
-                                 # with a larger cell_capacity/cand_slots
+                                 # with a larger cand_slots
 
 
 class DerivedScalars(NamedTuple):

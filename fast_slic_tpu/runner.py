@@ -30,8 +30,8 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
     """Execute iterate(); returns (labels int16 np [H,W], Clusters, Report).
 
     If the pipeline flags candidate-capacity overflow (clusters crowding a
-    cell beyond cell_capacity / cand_slots — possible only with extreme
-    centroid drift), re-runs with 4x capacity, up to two escalations.
+    3x3 cell neighborhood beyond cand_slots — possible only with extreme
+    centroid drift), re-runs with the VMEM-cap slot count (48).
 
     ``profile=True`` (slic_model.profile) runs the per-iteration
     phase-split program: the timing report carries one ``assign`` /
@@ -75,8 +75,7 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
             # the 16 MB budget (measured 23 MB at 120)
             bigger = dataclasses.replace(
                 cfg,
-                cell_capacity=cfg.cell_capacity * 2,
-                cand_slots=min(9 * cfg.cell_capacity * 2, 48),
+                cand_slots=min(cfg.cand_slots * 3, 48),
             )
             return run_iterate(bigger, image, clusters, params,
                                _escalation + 1, profile=profile)

@@ -100,20 +100,20 @@ def main():
         run_batch(H, W, K)
         return
 
-    # ---- 0b. A/B: smaller cell capacity (netsort A/B removed after the
-    # round-3 measurement: delta was noise; lax.sort is the keeper)
-    cfg_p3 = StaticConfig(H=H, W=W, K=K, arch="pallas", cell_capacity=3,
-                          cand_slots=16)
+    # ---- 0b. A/B: smaller candidate slot count (netsort A/B removed after
+    # the round-3 measurement: delta was noise; the round-4 scatter-side
+    # build has no per-cell capacity — only cand_slots remains)
+    cfg_p3 = StaticConfig(H=H, W=W, K=K, arch="pallas", cand_slots=12)
     def full_p3(image, st_):
         out = pipeline.iterate_graph(image, st_, cfg_p3, scal, 10, 3)
         return out.labels, out.clusters.y, out.cand_overflow
     try:
         t_p3 = timeit(full_p3, img_dev, st)
         ovf = bool(np.asarray(jax.jit(full_p3)(img_dev, st)[2]))
-        print(f"full iterate cell_capacity=3: {t_p3:7.2f} ms "
+        print(f"full iterate cand_slots=12: {t_p3:7.2f} ms "
               f"(delta {t_p3 - t_full:+6.2f}, overflow={ovf})", flush=True)
     except Exception as e:
-        print("cell_capacity=3 failed:", str(e)[:120], flush=True)
+        print("cand_slots=12 failed:", str(e)[:120], flush=True)
 
     # ---- 0c. batched: lax.map vs canvas (per-frame numbering CCA)
     if os.environ.get("FSTPU_EXP_BATCH"):
