@@ -70,7 +70,8 @@ def _neighbor_min(L, labels):
     return out
 
 
-def connected_components(labels, S=None):
+def connected_components(labels, S=None, bounded_h=None,
+                         content_bounded=None):
     """[H, W] SLIC labels -> [H, W] component ids = min linear pixel index.
 
     Small images: neighbor-min sweeps + pointer jumping (the [n] gather
@@ -79,13 +80,16 @@ def connected_components(labels, S=None):
     associative scans are both slow on TPU.  Pass the SLIC sampling
     interval S to cap the kernel's horizontal doubling reach at the
     component diameter (longer runs fall to extra fixpoint passes).
+    bounded_h/content_bounded enable the provably-2-pass mode (see
+    pallas/cca_tpu.propagate_min_pallas).
     """
     H, W = labels.shape
     n = H * W
     if n > _JUMP_TABLE_LIMIT and jax.default_backend() == "tpu":
         from ..pallas.cca_tpu import connected_components_pallas
         return connected_components_pallas(
-            labels, reach=_slic_reach((H, W), S) if S else None)
+            labels, reach=_slic_reach((H, W), S) if S else None,
+            bounded_h=bounded_h, content_bounded=content_bounded)
 
     L0 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
 
@@ -150,7 +154,15 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     maxc = min(n, max_components) if max_components else n
     small = n <= _JUMP_TABLE_LIMIT
 
-    L2 = connected_components(assignment, S)           # [H, W] leader ids
+    # Provably-2-pass propagation guard: every region of an ASSIGNED label
+    # spans <= 2S+1 rows (the +-S window test bounds every pixel of label k
+    # to k's window), so if no UNASSIGNED pixels exist, both propagations
+    # below may skip their confirm sweep (propagate_min_pallas docstring).
+    bounded_h = (2 * S + 1) if S else None
+    content_bounded = (jnp.logical_not(jnp.any(assignment == UNASSIGNED))
+                       if bounded_h is not None else None)
+
+    L2 = connected_components(assignment, S, bounded_h, content_bounded)
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     iota2 = ii * W + jj
@@ -173,7 +185,9 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
         comp2 = jnp.minimum(comp2, maxc - 1)
     else:
         comp2 = propagate_min_pallas(assignment, comp_seed,
-                                     reach=_slic_reach(assignment.shape, S))
+                                     reach=_slic_reach(assignment.shape, S),
+                                     bounded_h=bounded_h,
+                                     content_bounded=content_bounded)
     comp_flat = comp2.reshape(-1)
 
     # areas + orphan-adoption target per component in ONE segment-sum.  The
@@ -369,7 +383,15 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     spacer_row = (ii % pitch) >= frame_h
     cca_labels = jnp.where(spacer_row, 0x10000 + jj // chunk, assignment)
 
-    L2 = connected_components(cca_labels, S)
+    # 2-pass propagation guard (see enforce_connectivity_xla_flagged):
+    # assigned-label regions span <= 2S+1 rows; spacer chunk regions span
+    # pitch - frame_h rows (one band — the next band's identical label is
+    # separated by the frame rows between them).
+    bounded_h = max(2 * S + 1, pitch - frame_h) if S else None
+    content_bounded = (jnp.logical_not(jnp.any(cca_labels == UNASSIGNED))
+                       if bounded_h is not None else None)
+
+    L2 = connected_components(cca_labels, S, bounded_h, content_bounded)
     iota2 = ii * W + jj
     is_leader = L2 == iota2
     il = is_leader.astype(jnp.int32)
@@ -391,7 +413,9 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
         comp2 = seed_vals.reshape(-1)[L2.reshape(-1)].reshape(CH, W)
     else:
         comp2 = propagate_min_pallas(cca_labels, comp_seed,
-                                     reach=_slic_reach((CH, W), S))
+                                     reach=_slic_reach((CH, W), S),
+                                     bounded_h=bounded_h,
+                                     content_bounded=content_bounded)
     comp_flat = comp2.reshape(-1)
 
     # One segment-sum aggregates, per component: area, leader IN-FRAME row

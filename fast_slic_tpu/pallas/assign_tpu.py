@@ -242,26 +242,47 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
     colsel = (j_iota // S == gc_iota).astype(jnp.float32)
 
+    # Exact f32 selector contractions at 1/2 the HIGHEST MXU passes: one
+    # side of each expansion dot is a 0/1 selector (bf16-exact) and each
+    # output accumulates exactly ONE value v, so splitting v into its three
+    # non-overlapping bf16 mantissa chunks (h + m + l == v exactly, 3x8 =
+    # 24 mantissa bits) and summing three full-rate bf16 dots reconstructs
+    # v bit-exactly — each product is exact (0/1 x bf16 chunk) and the
+    # chunk sums are exact (disjoint mantissas).  Precision.HIGHEST would
+    # split BOTH operands (6 passes); Mosaic rejects HIGH ("Unsupported dot
+    # precision: HIGH", measured on v5e), so the manual split is the
+    # cheapest exact form.
+    def _split3(v):
+        h = v.astype(jnp.bfloat16)
+        r1 = v - h.astype(jnp.float32)
+        m = r1.astype(jnp.bfloat16)
+        l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+        return h, m, l
+
+    rowsel_b = rowsel.astype(jnp.bfloat16)
+    colsel_b = colsel.astype(jnp.bfloat16)
+
     def rowx(ref):
-        # exact f32 expansion: exactly one nonzero term per output — the
-        # bf16 splits of an f32 value v are non-overlapping mantissa
-        # chunks whose f32 sum reconstructs v exactly, the 0/1 selector
-        # is bf16-exact, and each output accumulates the parts of ONE
-        # value.  Precision.HIGH (bf16_3x) would be exact at half the MXU
-        # passes, but Mosaic rejects HIGH inside Pallas kernels
-        # ("Unsupported dot precision: HIGH", measured on v5e) — HIGHEST
-        # is the cheapest precision class the TPU compiler accepts that
-        # keeps the reconstruction exact.
-        return jax.lax.dot(rowsel, ref[0],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        h, m, l = _split3(ref[0])
 
-    expanded = [rowx(r) for r in field_refs]
+        def d(x):
+            return jax.lax.dot(rowsel_b, x,
+                               preferred_element_type=jnp.float32)
 
-    def lanex(e, s):
-        return jax.lax.dot(e[:, s * GW:(s + 1) * GW], colsel,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        return (d(h) + d(m)) + d(l)
+
+    # fields are expanded to strip rows once (f32), then split ONCE into
+    # the three bf16 chunk planes the per-slot lane expansions reuse
+    expanded = [_split3(rowx(r)) for r in field_refs]
+
+    def lanex(e3, s):
+        sl = slice(s * GW, (s + 1) * GW)
+
+        def d(x):
+            return jax.lax.dot(x[:, sl], colsel_b,
+                               preferred_element_type=jnp.float32)
+
+        return (d(e3[0]) + d(e3[1])) + d(e3[2])
 
     ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
           * stride + rem)

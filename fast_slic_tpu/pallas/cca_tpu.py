@@ -293,7 +293,9 @@ def _choose_strip_store(Wp: int, reach: int, strip: int | None,
 def propagate_min_pallas(labels, m0, strip: int | None = None,
                          interpret: bool | None = None,
                          reach: int | None = None,
-                         store: str | None = None):
+                         store: str | None = None,
+                         bounded_h: int | None = None,
+                         content_bounded=None):
     """Propagate the component-wise minimum of m0 over 4-connected
     equal-label regions to fixpoint.  labels, m0: [H, W] int32 (use _BIG-like
     large values in m0 for "no value here").
@@ -306,7 +308,24 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
     and a strip/2-shifted grid: a boundary of one phase is interior to the
     other, and every equivalence within strip/2 rows of any boundary
     resolves in a single pass of the opposite phase.  Real maps converge in
-    ~2 phase pairs (+1 to confirm)."""
+    ~2 phase pairs (+1 to confirm).
+
+    Provably-2-pass mode: when the caller KNOWS every 4-connected
+    equal-label region spans <= ``bounded_h`` rows (SLIC labels: every pixel
+    of label k lies in the +-S window of k's center, so regions span
+    <= 2S+1 rows — context.cpp:281-294 window test) AND the traced bool
+    ``content_bounded`` is True at runtime (the caller's check that no
+    unbounded labels — e.g. UNASSIGNED regions — are present), and
+    ``bounded_h <= strip/2 + 1`` so the phase cover holds (a region of
+    height h has residues [0, strip-h] covered by the natural grid and
+    [strip/2, strip/2 + strip-h] by the shifted grid — their union is all
+    residues iff h <= strip/2 + 1), then natural+shifted passes provably
+    reach the global fixpoint: each strip runs to LOCAL fixpoint in-kernel,
+    so the pass whose strip contains the whole region resolves it, and min
+    propagation is monotone so the other pass cannot disturb it.  The
+    confirm pass (a third sweep that discovers zero changes) is skipped —
+    the fixpoint loop only runs (from the third pass on) if
+    ``content_bounded`` is False at runtime."""
     H, W = labels.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -370,17 +389,39 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
         m2, chunk2 = jax.lax.cond(k % 2 == 0, nat_pass, shift_pass, m, chunk)
         return m2, chunk2, k + 1
 
-    m, _, _ = jax.lax.while_loop(
-        cond, body, (m_p, jnp.ones([NC], jnp.int32), jnp.int32(0)))
+    two_pass = (bounded_h is not None and content_bounded is not None
+                and bounded_h <= half + 1)
+    if two_pass:
+        # natural + shifted pass unconditionally (always needed), then the
+        # fixpoint loop ONLY if the runtime content check failed — for
+        # bounded content the cover proof (docstring) replaces the confirm
+        # sweep.
+        m1, chunk1 = nat_pass(m_p, jnp.ones([NC], jnp.int32))
+        m2, chunk2 = shift_pass(m1, chunk1)
+
+        def more(args):
+            mm, chunk = args
+            mm, _, _ = jax.lax.while_loop(cond, body,
+                                          (mm, chunk, jnp.int32(2)))
+            return mm
+
+        need = jnp.any(chunk2 != 0) & ~content_bounded
+        m = jax.lax.cond(need, more, lambda a: a[0], (m2, chunk2))
+    else:
+        m, _, _ = jax.lax.while_loop(
+            cond, body, (m_p, jnp.ones([NC], jnp.int32), jnp.int32(0)))
     return m[:H, :W]
 
 
 def connected_components_pallas(labels, strip: int | None = None,
                                 interpret: bool | None = None,
                                 reach: int | None = None,
-                                store: str | None = None):
+                                store: str | None = None,
+                                bounded_h: int | None = None,
+                                content_bounded=None):
     """[H, W] labels -> [H, W] component ids (min linear pixel index)."""
     H, W = labels.shape
     iota = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
             + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-    return propagate_min_pallas(labels, iota, strip, interpret, reach, store)
+    return propagate_min_pallas(labels, iota, strip, interpret, reach, store,
+                                bounded_h, content_bounded)

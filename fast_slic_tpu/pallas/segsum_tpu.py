@@ -279,9 +279,13 @@ def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
 
     ids_ref [8, tile] i32 (row 0 = segment ids, row 1 = 0/1 mask);
     vals_ref [16, tile] f32 (rows 0..10 = weighted features + weight).
-    Output rows are grouped 16 per hi bucket.  Matmuls run at
-    Precision.HIGHEST — the same precision class as the reference's f32
-    accumulators (LSC parity is >=0.999 agreement, not bit-exact)."""
+    Output rows are grouped 16 per hi bucket.  Values are split into their
+    three non-overlapping bf16 mantissa chunks and accumulated by three
+    full-rate bf16 matmuls against the 0/1 one-hot — every product is exact
+    (0/1 x bf16 chunk), so this matches Precision.HIGHEST up to f32
+    accumulation order at half the MXU passes (the reference accumulates in
+    plain f32, lsc.cpp:245-297; LSC parity is >=0.999 agreement, not
+    bit-exact)."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -291,6 +295,10 @@ def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
     ids = ids_ref[0:1, :]
     mask = ids_ref[1:2, :].astype(jnp.float32)
     vals = vals_ref[:] * mask
+    v_h = vals.astype(jnp.bfloat16)
+    r1 = vals - v_h.astype(jnp.float32)
+    v_m = r1.astype(jnp.bfloat16)
+    v_l = (r1 - v_m.astype(jnp.float32)).astype(jnp.bfloat16)
     hi_row = ids // _LO
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
     oh_t = (ids % _LO == lo_iota).astype(jnp.float32)
@@ -299,11 +307,17 @@ def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
     band_hi = jnp.max(hi_row)
 
     def body(h, carry):
-        m = (hi_row == h).astype(jnp.float32)
-        part = jax.lax.dot_general(
-            vals * m, oh_t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)      # [16, _LO]
+        # band masking moves to the 0/1 side so the value chunks are
+        # loop-invariant (split once per tile)
+        ohm = (oh_t * (hi_row == h).astype(jnp.float32)
+               ).astype(jnp.bfloat16)
+
+        def d(chunk):
+            return jax.lax.dot_general(
+                chunk, ohm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [16, _LO]
+
+        part = (d(v_h) + d(v_m)) + d(v_l)
         out_ref[pl.ds(h * 16, 16), :] += part
         return carry
 

@@ -138,26 +138,29 @@ def build_candidates(y, x, is_active, cfg: StaticConfig, key=None):
     # reference's phase pattern survives the row shift)
 
     active = is_active != 0
-    cells9 = []
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            ni = ci + di
-            nj = cj + dj
-            ok = active & (ni >= 0) & (ni < GH) & (nj >= 0) & (nj < GW)
-            cells9.append(jnp.where(ok, ni * GW + nj, num_cells))
-    cell9 = jnp.concatenate(cells9)                    # [9K]
-    key9 = jnp.concatenate([key] * 9)                  # [9K]
+    # one [9, K] broadcast per quantity instead of 9 separate [K] op chains
+    # — candidate building's cost is dispatch-floor op count, not elements
+    di9 = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)[:, None]
+    dj9 = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)[:, None]
+    ni = ci[None, :] + di9                             # [9, K]
+    nj = cj[None, :] + dj9
+    ok = (active[None, :] & (ni >= 0) & (ni < GH)
+          & (nj >= 0) & (nj < GW))
+    cell9 = jnp.where(ok, ni * GW + nj, num_cells).reshape(-1)   # [9K]
+    key9 = jnp.broadcast_to(key[None, :], (9, K)).reshape(-1)
 
     # Lexicographic (cell, visit-key) sort: composite keys are unique for
     # valid entries (a cluster appears at most once per cell), so the order
     # is deterministic without stability.
     sc, okey = jax.lax.sort((cell9, key9), num_keys=2)
     M = int(sc.shape[0])
-    rank = jnp.zeros([M], jnp.int32)
-    for d in range(1, min(C, M - 1) + 1):
-        same = jnp.concatenate(
-            [jnp.zeros([d], bool), sc[d:] == sc[:-d]])
-        rank = rank + same.astype(jnp.int32)
+    # within-cell rank: same-cell entries are contiguous after the sort, so
+    # rank = index - (index of the run's first entry), the latter a running
+    # max over run-start indices — 3 ops instead of a C-step compare window
+    iota = jnp.arange(M, dtype=jnp.int32)
+    run_start = jnp.concatenate(
+        [jnp.ones([1], bool), sc[1:] != sc[:-1]])
+    rank = iota - jax.lax.cummax(jnp.where(run_start, iota, 0))
 
     valid = sc < num_cells
     kept = valid & (rank < C)

@@ -143,3 +143,48 @@ def test_pallas_strip_store_variants_identical(rng):
         out = np.asarray(connected_components_pallas(
             jnp.asarray(labels), strip=strip, store=store, interpret=True))
         np.testing.assert_array_equal(out, ref, err_msg=f"{strip}/{store}")
+
+
+def test_two_pass_bounded_matches_fixpoint(rng):
+    # provably-2-pass mode: content whose equal-label regions span <= 2S+1
+    # rows (a real SLIC-like fragment map) must produce the identical
+    # fixpoint with the confirm sweep skipped (content_bounded=True), and
+    # with content_bounded=False must still take the full fixpoint loop
+    from fast_slic_tpu.pallas.cca_tpu import connected_components_pallas
+    S = 6
+    H, W = 70, 90
+    # synthesize bounded-height labels: rows banded into 2S+1 strips with
+    # random per-band labels so no region crosses a band boundary
+    bands = (np.arange(H) // (2 * S + 1))[:, None]
+    labels = (rng.integers(0, 4, size=(H, W)) + 10 * bands).astype(np.int32)
+    ref = np.asarray(connected_components_pallas(
+        jnp.asarray(labels), strip=32, interpret=True))
+    for cb in (True, False):
+        out = np.asarray(connected_components_pallas(
+            jnp.asarray(labels), strip=32, interpret=True,
+            bounded_h=2 * S + 1, content_bounded=jnp.bool_(cb)))
+        np.testing.assert_array_equal(out, ref, err_msg=f"bounded={cb}")
+    # bound larger than the cover (strip/2+1) must fall back to the loop
+    out = np.asarray(connected_components_pallas(
+        jnp.asarray(labels), strip=16, interpret=True,
+        bounded_h=2 * S + 1, content_bounded=jnp.bool_(True)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_two_pass_unbounded_content_falls_back(rng):
+    # a spiral (worst-case winding component) violates any height bound;
+    # with content_bounded=False at runtime the fixpoint loop must still
+    # resolve it exactly even though bounded_h was passed
+    from fast_slic_tpu.pallas.cca_tpu import connected_components_pallas
+    H, W = 33, 33
+    labels = np.ones((H, W), np.int32)
+    labels[::4, :] = 2
+    for i, r in enumerate(range(0, H, 4)):
+        if r + 4 < H:
+            col = 0 if i % 2 == 0 else W - 1
+            labels[r:r + 4, col] = 2  # connect alternating band ends
+    ref = np.asarray(connected_components(jnp.asarray(labels)))
+    out = np.asarray(connected_components_pallas(
+        jnp.asarray(labels), strip=16, interpret=True,
+        bounded_h=5, content_bounded=jnp.bool_(False)))
+    np.testing.assert_array_equal(out, ref)
