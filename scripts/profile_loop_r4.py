@@ -126,8 +126,12 @@ def main():
                     cand, _ = pipeline.build_candidates(
                         st.y, st.x, st.is_active, cfg)
                 else:
-                    cand = jnp.minimum(
-                        cand0 + (st.y[0].astype(jnp.int32) % 2), K - 1)
+                    # perturb only NON-EMPTY slots: bumping an empty slot
+                    # (-1) to cluster id 0 would inflate the assign kernel's
+                    # per-slot work vs the real loop (ADVICE r4)
+                    delta = st.y[0].astype(jnp.int32) % 2
+                    cand = jnp.where(cand0 >= 0,
+                                     jnp.minimum(cand0 + delta, K - 1), -1)
                 if "assign" not in skip:
                     a_new, _ = pipeline.run_assign_kernel(
                         p3_subs[rem], None, a_subs[rem], st, cand, cfg,

@@ -54,6 +54,13 @@ def main():
     scal = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
     img_dev = jnp.asarray(image)
 
+    # DCE caveat (ADVICE r4): at small mi, XLA dead-code-eliminates the
+    # per-rem subsample prep for remainders never used (mi=0 kills all three
+    # rem slices), so successive deltas below mi=3 mix incremental prep with
+    # per-iteration cost.  Derive the per-iter slope ONLY from the region
+    # where all three rem slices are live (the 4->7->10 deltas), and read
+    # fixed prep as the mi=4 point minus 4x that slope.
+
     # A. composed (setup in-graph), loop iterations swept
     def upto_loop(mi):
         def fn(image, st_):
@@ -65,7 +72,7 @@ def main():
         return fn
 
     prev = prev_mi = None
-    for mi in (0, 1, 2, 4):
+    for mi in (0, 1, 2, 4, 7, 10):
         t = timeit(upto_loop(mi), img_dev, st0, n=8)
         d = ("" if prev is None else
              f"  (+{(t - prev):6.2f} for +{mi - prev_mi} iters)")
@@ -87,7 +94,7 @@ def main():
         return fn
 
     prev = prev_mi = None
-    for mi in (0, 1, 2, 4):
+    for mi in (0, 1, 2, 4, 7, 10):
         t = timeit(loop_only(mi), planes, st2, *lsc_state, n=8)
         d = ("" if prev is None else
              f"  (+{(t - prev):6.2f} for +{mi - prev_mi} iters)")

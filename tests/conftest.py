@@ -28,6 +28,24 @@ import numpy as np
 import pytest
 
 
+# Fast tier: `pytest -m quick` runs the high-value sub-minute tests (golden
+# parity vs the reference binary, CCA adversarial cases, API contracts) so
+# inner-loop verification doesn't pay the full ~17-minute suite.  The two
+# multi-minute outliers (LSC golden: interpret-mode Pallas feature kernels;
+# the CCA store-variant A/B) stay full-suite-only.
+_QUICK_FILES = {"test_golden.py", "test_cca.py", "test_api.py",
+                "test_seeding.py", "test_cielab.py", "test_stack.py"}
+_QUICK_EXCLUDE = {"test_golden_exact[lsc_k256]",
+                  "test_pallas_strip_store_variants_identical"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (os.path.basename(str(item.fspath)) in _QUICK_FILES
+                and item.name not in _QUICK_EXCLUDE):
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
