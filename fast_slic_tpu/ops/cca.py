@@ -427,17 +427,37 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     lrow_in = ii % pitch
     donor_comp = jnp.where(jj > 0, _shifted(comp2, 0, -1, 0),
                            _shifted(comp2, -1, 0, 0))
-    vals = jnp.stack(
-        [jnp.ones_like(il),
-         jnp.where(is_leader, lrow_in >> 8, 0),
-         jnp.where(is_leader, lrow_in & 0xFF, 0),
-         jnp.where(is_leader, donor_comp >> 14, 0),
-         jnp.where(is_leader, donor_comp & 16383, 0)], axis=-1).reshape(-1, 5)
-    acc = segment_sum_matmul(comp_flat, vals, maxc,
-                             max_val=max(n >> 16, 16383, pitch >> 8))[:maxc]
-    A = acc[:, 0].reshape(B, MF)                        # areas
-    LR = (acc[:, 1] * 256 + acc[:, 2]).reshape(B, MF)   # leader in-frame row
-    target = acc[:, 3] * 16384 + acc[:, 4]              # [maxc]
+    val_list = [jnp.ones_like(il),
+                jnp.where(is_leader, lrow_in >> 8, 0),
+                jnp.where(is_leader, lrow_in & 0xFF, 0),
+                jnp.where(is_leader, donor_comp >> 14, 0),
+                jnp.where(is_leader, donor_comp & 16383, 0)]
+    if on_tpu and not small:
+        # per-frame-output segment sum: ONE kernel launch, VMEM footprint =
+        # one frame's [MF] bucket table (a global [maxc = B*MF] one-block
+        # output OOMs Mosaic VMEM at video batch sizes — 39 MB at B=32)
+        from ..pallas.segsum_tpu import framed_segment_sum_pallas
+        # clip: in spacer-less stacks (pitch == frame_h) an UNASSIGNED
+        # region can 4-connect across a frame boundary, giving pixels a
+        # comp id from the PREVIOUS frame's band (local id < 0).  Both
+        # frames are flagged for host re-run in that case (they contain
+        # UNASSIGNED), so the clipped bin contents don't matter — the clip
+        # only keeps the kernel's store offsets in range.
+        ids_local = jnp.clip(comp2 - fid * MF, 0, MF - 1
+                             ).reshape(B, pitch * W)
+        vals5 = jnp.stack([v.reshape(B, pitch * W) for v in val_list], 0)
+        accf = framed_segment_sum_pallas(ids_local, vals5, MF, False)
+        A = accf[:, 0]                                  # [B, MF] areas
+        LR = accf[:, 1] * 256 + accf[:, 2]              # leader in-frame row
+        target = (accf[:, 3] * 16384 + accf[:, 4]).reshape(maxc)
+    else:
+        vals = jnp.stack(val_list, axis=-1).reshape(-1, 5)
+        acc = segment_sum_matmul(comp_flat, vals, maxc,
+                                 max_val=max(n >> 16, 16383,
+                                             pitch >> 8))[:maxc]
+        A = acc[:, 0].reshape(B, MF)                    # areas
+        LR = (acc[:, 1] * 256 + acc[:, 2]).reshape(B, MF)
+        target = acc[:, 3] * 16384 + acc[:, 4]          # [maxc]
 
     ridx = jnp.arange(MF, dtype=jnp.int32)[None, :]
     valid_comp = ridx < ncomp_f[:, None]                # [B, MF]

@@ -46,8 +46,10 @@ _U32_MAX = 0xFFFFFFFF
 def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
                    cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
                    out_a_ref, out_d_ref, m_ref, a_ref, *, S, GH, GW, C, CR,
-                   rows, stride, W_real, H_real, manhattan):
-    gi = pl.program_id(0)
+                   rows, stride, W_real, H_real, manhattan, spf=0):
+    # spf > 0: frame-grid batch mode (parallel/stack.py) — the grid covers
+    # B stacked frames of spf strips each; all row/cell math is frame-local.
+    gi = pl.program_id(0) % spf if spf else pl.program_id(0)
     Wp = p0_ref.shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
@@ -196,7 +198,7 @@ _F32_MAX = float(np.finfo(np.float32).max)
 
 
 def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
-                         W_real, H_real, manhattan, variant, n_feat):
+                         W_real, H_real, manhattan, variant, n_feat, spf=0):
     """Float-distance assign kernel: the real / real_l2 / real_noq variants
     (reference ContextRealDist* scalar loops, context.cpp:406-499) and LSC
     (lsc.cpp:197-224; SIMD analog avx2.h:193-304).
@@ -224,7 +226,7 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = field_refs[:6]
     feat_cent_refs = field_refs[6:]
 
-    gi = pl.program_id(0)
+    gi = pl.program_id(0) % spf if spf else pl.program_id(0)
     Wp = plane_refs[0].shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
@@ -393,19 +395,40 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     out_d_ref[:] = jnp.where(write, md, jnp.full_like(md, fmax))
 
 
+def _strip_gather_idx(n_strips: int, rows: int, stride: int, rem_i,
+                      S: int, GH: int, CR: int, spf: int):
+    """Per-strip cell-row gather indices.  spf > 0 = frame-grid batch mode:
+    strip s belongs to frame s // spf, whose cell rows live at
+    [f*GH, (f+1)*GH) in the stacked field array; the base is frame-local
+    (must match the kernel's base_cell computation exactly)."""
+    sidx = jnp.arange(n_strips, dtype=jnp.int32)
+    s_local = sidx % spf if spf else sidx
+    base = s_local * (rows * stride) + rem_i
+    base = jnp.clip(base // S, 0, max(GH - CR, 0))
+    if spf:
+        base = base + (sidx // spf) * GH
+    return base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
-                     "variant", "interpret"))
+                     "variant", "interpret", "frames"))
 def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
                         feat_fields, coef, rem, stride, *, S, GH, GW, C, H,
-                        W, manhattan, variant, interpret):
+                        W, manhattan, variant, interpret, frames=1):
     """Fused float-distance assign (real / real_l2 / real_noq / lsc).
 
     planes3: int32 [3, Hp, Wp]; feat_planes: f32 [n_feat, Hp, Wp] or None
     (LSC feature channels); cell_fields: 6 f32 [GH, C*GW]; feat_fields:
     n_feat f32 [GH, C*GW] LSC centroid channels or None.  Returns
     (assignment int32, min_dists f32) at [Hp, Wp].
+
+    frames > 1 enables the frame-grid batch mode (parallel/stack.py):
+    planes3 holds B frames stacked vertically ([3, B*Hpf, Wp]), cell_fields
+    are stacked [B*GH, C*GW], and H/W/S/GH stay the per-frame values — one
+    pallas_call serves the whole batch with per-frame semantics (VMEM per
+    strip is frame-height-independent).
     """
     _, Hp, Wp = planes3.shape
     n_feat_in = 0 if feat_planes is None else feat_planes.shape[0]
@@ -416,11 +439,13 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     n_strips = Hp // rows
     CR = _strip_rows_cr(GH, S, stride, rows)
     n_feat = 0 if feat_planes is None else feat_planes.shape[0]
+    spf = 0
+    if frames > 1:
+        assert n_strips % frames == 0
+        spf = n_strips // frames
 
     rem_i = rem.astype(jnp.int32)
-    base = (jnp.arange(n_strips, dtype=jnp.int32) * (rows * stride) + rem_i)
-    base = jnp.clip(base // S, 0, max(GH - CR, 0))
-    idx = base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
+    idx = _strip_gather_idx(n_strips, rows, stride, rem_i, S, GH, CR, spf)
     all_fields = tuple(cell_fields) + (tuple(feat_fields) if feat_fields
                                        else ())
     stack = jnp.stack(all_fields, 0)
@@ -436,7 +461,7 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     kernel = functools.partial(
         _assign_kernel_float, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
         stride=stride, W_real=W, H_real=H, manhattan=manhattan,
-        variant=variant, n_feat=n_feat)
+        variant=variant, n_feat=n_feat, spf=spf)
     plane_args = [planes3[0], planes3[1], planes3[2]]
     if n_feat:
         plane_args += [feat_planes[i] for i in range(n_feat)]
@@ -459,10 +484,10 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
-                     "interpret", "rows"))
+                     "interpret", "rows", "frames"))
 def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                            stride, *, S, GH, GW, C, H, W, manhattan,
-                           interpret, rows=64):
+                           interpret, rows=64, frames=1):
     """Run the fused assign pass.
 
     planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
@@ -471,18 +496,22 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     stride: STATIC python int (row r of the input maps to absolute image
     row r*stride + rem); rem: traced int32 scalar.
     Returns (assignment int32 [Hp, Wp], min_dists int32 [Hp, Wp]).
+
+    frames > 1 = frame-grid batch mode: see assign_pallas_float.
     """
     _, Hp, Wp = planes3.shape
     n_strips = Hp // rows
     CR = _strip_rows_cr(GH, S, stride, rows)
+    spf = 0
+    if frames > 1:
+        assert n_strips % frames == 0
+        spf = n_strips // frames
 
     # per-strip cell-row gather (cell granularity: n_strips * CR indexed
     # rows of C*GW, a few thousand rows — NOT a pixel-scale gather)
     rem_i = rem.astype(jnp.int32)
-    base = (jnp.arange(n_strips, dtype=jnp.int32) * (rows * stride) + rem_i)
-    base = jnp.clip(base // S, 0, max(GH - CR, 0))
-    idx = base[:, None] + jnp.arange(CR, dtype=jnp.int32)[None, :]
-    stack = jnp.stack(cell_fields, 0)                 # [6, GH, C*GW]
+    idx = _strip_gather_idx(n_strips, rows, stride, rem_i, S, GH, CR, spf)
+    stack = jnp.stack(cell_fields, 0)                 # [6, B*GH, C*GW]
     strips = stack[:, idx, :]                         # [7, n_strips, CR, C*GW]
 
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
@@ -493,7 +522,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
 
     kernel = functools.partial(
         _assign_kernel, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
-        stride=stride, W_real=W, H_real=H, manhattan=manhattan)
+        stride=stride, W_real=W, H_real=H, manhattan=manhattan, spf=spf)
     out_a, out_d = pl.pallas_call(
         kernel,
         grid=(n_strips,),
@@ -527,6 +556,43 @@ def prepare_feat_fields(cand, cent):
 _INVALID_Y = 65000.0  # empty-slot y: defeats every |di| <= S window test
                       # (requires H + S < 65000; byte halves 253/232 are
                       # bf16-exact, so the split expansion stays exact)
+
+
+def prepare_cell_fields_batched(cand, table):
+    """Frame-grid batch variant of :func:`prepare_cell_fields`:
+    cand [B, GH, GW, C] int32 (frame-local ids), table [B, K, 5] f32 ->
+    6 f32 [B*GH, C*GW] stacked fields (the layout assign_pallas_* expects
+    with frames=B).  The id field carries FRAME-LOCAL cluster ids."""
+    B, GH, GW, C = cand.shape
+    K = table.shape[1]
+    cand_t = jnp.swapaxes(cand, 2, 3)              # [B, GH, C, GW]
+    safe = jnp.maximum(cand_t, 0)
+    offs = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None, None]
+    cdata = table.reshape(B * K, 5)[safe + offs]   # [B, GH, C, GW, 5]
+    valid = cand_t >= 0
+
+    def fold(a):
+        return a.reshape(B * GH, C * GW).astype(jnp.float32)
+
+    fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
+    fields += [fold(cdata[..., i]) for i in range(1, 5)]
+    fields.append(fold(cand_t.astype(jnp.float32)))
+    return tuple(fields)
+
+
+def prepare_feat_fields_batched(cand, cent):
+    """Frame-grid batch variant of :func:`prepare_feat_fields`:
+    cand [B, GH, GW, C], cent [B, K, F] -> F f32 [B*GH, C*GW] arrays."""
+    B, GH, GW, C = cand.shape
+    K, F = cent.shape[1], cent.shape[-1]
+    safe = jnp.maximum(jnp.swapaxes(cand, 2, 3), 0)
+    offs = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None, None]
+    cdata = cent.reshape(B * K, F)[safe + offs]
+
+    def fold(a):
+        return a.reshape(B * GH, C * GW).astype(jnp.float32)
+
+    return tuple(fold(cdata[..., i]) for i in range(F))
 
 
 def prepare_cell_fields(cand, table):

@@ -33,15 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 _LO = 128
 
 
-def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
-    step = pl.program_id(0)
+def _segsum_accumulate(ids, vals, out_ref, tile):
+    """Shared band-guarded byte-split accumulation body.
 
-    @pl.when(step == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    ids [1, tile] i32, vals [8, tile] i32; accumulates into out_ref rows
+    grouped 8 per hi bucket.
 
-    ids = ids_ref[0:1, :]                 # [1, tile] i32
-    vals = vals_ref[:]                    # [8, tile] i32
+    Band guard: ids produced by the pipeline (cluster numbers ordered by
+    grid position, CCA component ranks ordered by leader raster index)
+    are spatially coherent, so a 4096-pixel tile touches only a narrow
+    contiguous band of hi buckets.  Looping over [min, max] of the tile's
+    hi values makes the cost scale with local id density instead of the
+    total bucket count — this is what lets max_components be sized for
+    real images (tens of thousands of raw CCA fragments at 720p) without
+    paying O(num_segments) dots per tile.  Output rows are grouped per
+    bucket ([h*8, h*8+8)) so the loop's store offset is on the sublane
+    dim, where Mosaic supports dynamic indexing.
+    """
     hi_row = ids // _LO                   # [1, tile]
     # lane-contraction layout: no in-kernel transposes (they dominate
     # kernel time on Mosaic)
@@ -51,16 +59,6 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
     v_hi = (vals >> 8).astype(jnp.bfloat16)   # byte halves: bf16-exact
     v_lo = (vals & 0xFF).astype(jnp.bfloat16)
 
-    # Band guard: ids produced by the pipeline (cluster numbers ordered by
-    # grid position, CCA component ranks ordered by leader raster index)
-    # are spatially coherent, so a 4096-pixel tile touches only a narrow
-    # contiguous band of hi buckets.  Looping over [min, max] of the tile's
-    # hi values makes the cost scale with local id density instead of the
-    # total bucket count — this is what lets max_components be sized for
-    # real images (tens of thousands of raw CCA fragments at 720p) without
-    # paying O(num_segments) dots per tile.  Output rows are grouped per
-    # bucket ([h*8, h*8+8)) so the loop's store offset is on the sublane
-    # dim, where Mosaic supports dynamic indexing.
     band_lo = jnp.min(hi_row)
     band_hi = jnp.max(hi_row)
 
@@ -79,7 +77,32 @@ def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
     jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
 
 
-def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
+def _segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _segsum_accumulate(ids_ref[0:1, :], vals_ref[:], out_ref, tile)
+
+
+def _framed_segsum_kernel(vals_ref, ids_ref, out_ref, *, tile):
+    """Per-frame-output segment sum: grid (B, tiles/frame); the out block is
+    frame b's own bucket table, zeroed on the frame's first tile and kept
+    VMEM-resident while b's tiles stream — so total bins can be B * MF
+    without ever materializing the whole [B*MF] table in VMEM (a [B*MF]
+    one-block output hits the Mosaic VMEM ceiling at video batch sizes:
+    39 MB at B=32, MF=38400)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _segsum_accumulate(ids_ref[0:1, :], vals_ref[:], out_ref, tile)
+
+
+def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K,
+                   hmod=0):
     """SLIC centroid-update segment sum with in-kernel value construction.
 
     in_ref rows: 0 = cluster ids (masked pixels carry their nearest valid
@@ -88,6 +111,10 @@ def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
     [count, ii, jj, r, g, b] per cluster — the reference's update
     accumulators (context.cpp:309-354) — without materializing the [N, 6]
     value tensor in HBM.
+
+    hmod > 0 = frame-grid batch mode (parallel/stack.py): the flat input is
+    B stacked frames of hmod rows each, so the row coordinate is
+    frame-local ((pix // W) % hmod).
     """
     step = pl.program_id(0)
 
@@ -101,7 +128,8 @@ def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
     # pixel coordinates from the flat subsampled index (row r of the sliced
     # image is absolute row r*stride + rem)
     pix = step * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    ii = (pix // W) * stride + rem
+    row = (pix // W) % hmod if hmod else pix // W
+    ii = row * stride + rem
     jj = pix % W
     vals = jnp.concatenate(
         [mask, ii * mask, jj * mask,
@@ -135,14 +163,19 @@ def _update_kernel(scal_ref, in_ref, out_ref, *, tile, W, stride, K):
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "W", "stride",
-                                             "interpret", "tile"))
+                                             "interpret", "tile", "hmod"))
 def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
-                       W: int, stride: int, interpret: bool, tile: int = 4096):
+                       W: int, stride: int, interpret: bool, tile: int = 4096,
+                       hmod: int = 0):
     """Fused SLIC update accumulation: ids int32 [N] in [0, num_segments]
     (use the nearest valid id for masked pixels), mask int32 [N] (0 zeroes
     a pixel's contribution), p0..p2 int32 [N] quad planes of the SLICED
     (subsampled) image whose row r is absolute row r*stride + rem.
     Returns int32 [6, num_segments + 1]: count, sum_i, sum_j, sums r/g/b.
+
+    hmod > 0 = frame-grid batch mode: the flat input is B stacked frames of
+    hmod rows each (row coordinates wrap per frame); pass per-frame cluster
+    ids offset by b*K and num_segments = B*K.
     """
     N = ids.shape[0]
     n_tiles = -(-N // tile)
@@ -163,7 +196,7 @@ def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
 
     out = pl.pallas_call(
         functools.partial(_update_kernel, tile=tile, W=W, stride=stride,
-                          K=num_segments),
+                          K=num_segments, hmod=hmod),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((8, tile), lambda i: (0, i))],
@@ -272,6 +305,51 @@ def segment_sum_pallas(ids, vals, num_segments: int, interpret: bool):
     # rows are per-bucket groups of 8: [n_hi*8, 128] -> [8, Kp]
     out = out.reshape(n_hi, 8, _LO).transpose(1, 0, 2).reshape(8, Kp)
     return out[:V, :num_segments + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments_f", "interpret"))
+def framed_segment_sum_pallas(ids, vals, num_segments_f: int,
+                              interpret: bool):
+    """Per-frame segment sum for frame-batched bookkeeping (stacked-batch
+    CCA): ids int32 [B, Nf] FRAME-LOCAL in [0, num_segments_f); vals int32
+    [V, B, Nf] with 0 <= vals < 2^16, V <= 8.  Returns int32
+    [B, V, num_segments_f].  Equivalent to B independent segment_sum_pallas
+    calls in ONE kernel launch; the output block is per frame, so the VMEM
+    footprint is one frame's bucket table regardless of B."""
+    V, B, Nf = vals.shape
+    assert V <= 8
+    tile = 4096
+    n_tiles_f = -(-Nf // tile)
+    Npf = n_tiles_f * tile
+    Kp = -(-num_segments_f // _LO) * _LO
+    n_hi = Kp // _LO
+
+    vals_p = jnp.zeros((8, B * Npf), jnp.int32)
+    if Npf == Nf:
+        vals_p = vals_p.at[:V, :].set(vals.reshape(V, B * Nf))
+        ids_p = ids.reshape(B * Nf)
+    else:
+        vals_p = vals_p.at[:V, :].set(
+            jnp.pad(vals, ((0, 0), (0, 0), (0, Npf - Nf))
+                    ).reshape(V, B * Npf))
+        # pad each frame's ids with its last real id (vals are 0 there) so
+        # the pad tiles' hi-bucket bands stay tight
+        ids_p = jnp.concatenate(
+            [ids, jnp.broadcast_to(ids[:, -1:], (B, Npf - Nf))],
+            axis=1).reshape(B * Npf)
+    ids_p = jnp.broadcast_to(ids_p[None, :], (8, B * Npf))
+
+    out = pl.pallas_call(
+        functools.partial(_framed_segsum_kernel, tile=tile),
+        grid=(B, n_tiles_f),
+        in_specs=[pl.BlockSpec((8, tile), lambda b, t: (0, b * n_tiles_f + t)),
+                  pl.BlockSpec((8, tile), lambda b, t: (0, b * n_tiles_f + t))],
+        out_specs=pl.BlockSpec((n_hi * 8, _LO), lambda b, t: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * n_hi * 8, _LO), jnp.int32),
+        interpret=interpret,
+    )(vals_p, ids_p)
+    out = out.reshape(B, n_hi, 8, _LO).transpose(0, 2, 1, 3).reshape(B, 8, Kp)
+    return out[:, :V, :num_segments_f]
 
 
 def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):

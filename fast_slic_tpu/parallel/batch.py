@@ -113,6 +113,48 @@ def _compiled_canvas_step(cfg: StaticConfig, max_iter: int, stride: int,
 
 
 @functools.lru_cache(maxsize=32)
+def _compiled_stack_step(cfg: StaticConfig, max_iter: int, stride: int,
+                         mesh):
+    """Frame-grid batched step (parallel/stack.py): ONE batched program —
+    frame-axis Pallas grids, [B, K] glue, one B*K-bin segment sum, one
+    frame-aware CCA pass — so per-frame serial floors amortize over B
+    (lax.map replays them per frame).  Per-frame outputs are bit-identical
+    to the single-frame pipeline (tests/test_stack.py)."""
+    from .stack import iterate_graph_stacked
+
+    def step(images, clusters, scalars):
+        out = iterate_graph_stacked(images, clusters, cfg, scalars,
+                                    max_iter, stride)
+        both = jnp.concatenate([out.cand_overflow.reshape(1),
+                                out.cca_tie.reshape(-1)])
+        return out.labels, out.clusters, both, out.raw_assignment
+
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(images, st, scalars):
+        labels, st_out, both, raw = step(images, st, scalars)
+        ovf = jnp.any(jax.lax.all_gather(both[0], "data"))
+        return labels, st_out, ovf.reshape(1), both[1:], raw
+
+    specs_st = Clusters(*([P("data")] * 8))
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P("data"), specs_st, P()),
+        out_specs=(P("data"), specs_st, P(), P("data"), P("data")),
+        check_vma=False)
+
+    def run(images, st, scalars):
+        labels, st_out, ovf1, tie, raw = fn(images, st, scalars)
+        return labels, st_out, jnp.concatenate([ovf1, tie]), raw
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
 def _compiled_map_step(cfg: StaticConfig, max_iter: int, stride: int,
                        mesh):
     """Per-frame lax.map step: frames run SEQUENTIALLY on-device through
@@ -185,8 +227,8 @@ class BatchedSlic:
                  variant="standard", preemptive=False, preemptive_thres=0.05,
                  arch=None, mesh=None, check_exactness=True,
                  batch_mode="map"):
-        if batch_mode not in ("map", "canvas"):
-            raise ValueError("batch_mode must be 'map' or 'canvas'")
+        if batch_mode not in ("map", "canvas", "stack"):
+            raise ValueError("batch_mode must be 'map', 'stack' or 'canvas'")
         self.batch_mode = batch_mode
         self.num_components = num_components
         self.compactness = compactness
@@ -207,6 +249,14 @@ class BatchedSlic:
     def _use_canvas(self):
         return (self.batch_mode == "canvas"
                 and self.variant not in (VARIANT_REAL_NOQ, VARIANT_LSC))
+
+    def _use_stack(self, B):
+        # stacked mode covers everything but LSC; B*K must keep labels
+        # u16-codable for the frame-aware CCA (falls back to map otherwise)
+        return (self.batch_mode == "stack" and self.variant != VARIANT_LSC
+                and (B // (1 if self.mesh is None
+                           else self.mesh.shape["data"]))
+                * self.num_components < 0xFFFF)
 
     def _cfg(self, B, H, W):
         arch = self.arch if self.arch is not None else _default_arch()
@@ -279,6 +329,9 @@ class BatchedSlic:
             fn = _compiled_canvas_step(cfg, int(max_iter),
                                        int(self.subsample_stride),
                                        self.mesh, B_local)
+        elif self._use_stack(B):
+            fn = _compiled_stack_step(cfg, int(max_iter),
+                                      int(self.subsample_stride), self.mesh)
         else:
             fn = _compiled_map_step(cfg, int(max_iter),
                                     int(self.subsample_stride), self.mesh)
