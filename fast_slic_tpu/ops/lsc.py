@@ -61,8 +61,11 @@ def features(planes, cfg: StaticConfig, tables):
     lsc.cpp:22-163).
 
     planes: int32 [3, H, W] planar quad image.  tables: trig LUTs from
-    :func:`trig_tables`.  Returns (feats f32 [H, W, 10], weights f32
-    [H, W]).  Feature order: l1,l2,a1,a2,b1,b2,x1,x2,y1,y2.
+    :func:`trig_tables`.  Returns (feats f32 PLANAR [10, H, W], weights f32
+    [H, W]).  Feature order: l1,l2,a1,a2,b1,b2,x1,x2,y1,y2.  Planar is the
+    layout every consumer wants (padded kernel planes, row-layout float
+    segment sums); the old [H, W, 10] form cost an 83 MB relayout at 1080p
+    before the loop and a 30 MB transpose per after_update.
     """
     H, W = cfg.H, cfg.W
     t = {k: jnp.asarray(v) for k, v in tables.items()}
@@ -75,7 +78,7 @@ def features(planes, cfg: StaticConfig, tables):
         color6 = lsc_color_feats_pallas(
             planes, tables["L_cos"], tables["L_sin"],
             tables["color_cos"], tables["color_sin"])
-        color_parts = [color6[..., i] for i in range(6)]
+        color_parts = [color6[i] for i in range(6)]
     else:
         Lp = planes[0]
         Ap = planes[1]
@@ -92,12 +95,12 @@ def features(planes, cfg: StaticConfig, tables):
             t["h_cos"][:, None] * ones,
             t["h_sin"][:, None] * ones,
         ],
-        axis=-1,
-    )
+        axis=0,
+    )                                                          # [10, H, W]
 
-    mean_f = jnp.mean(feats.reshape(-1, 10), axis=0)         # lsc.cpp:138-150
-    weights = feats @ mean_f                                  # lsc.cpp:151-160
-    feats = feats / weights[..., None]                        # normalize_features
+    mean_f = jnp.mean(feats.reshape(10, -1), axis=1)          # lsc.cpp:138-150
+    weights = jnp.einsum("chw,c->hw", feats, mean_f)          # lsc.cpp:151-160
+    feats = feats / weights[None]                             # normalize_features
     return feats, weights
 
 
@@ -113,10 +116,10 @@ def seed_centroids(feats, st: Clusters, cfg: StaticConfig):
 
     win = jax.lax.reduce_window(
         feats, 0.0, jax.lax.add,
-        window_dimensions=(2 * r + 1, 2 * r + 1, 1),
+        window_dimensions=(1, 2 * r + 1, 2 * r + 1),
         window_strides=(1, 1, 1),
-        padding=((r, r), (r, r), (0, 0)),
-    )  # [H, W, 10] clamped-window sums
+        padding=((0, 0), (r, r), (r, r)),
+    )  # [10, H, W] clamped-window sums
     counts = jax.lax.reduce_window(
         jnp.ones([H, W], jnp.float32), 0.0, jax.lax.add,
         window_dimensions=(2 * r + 1, 2 * r + 1),
@@ -125,7 +128,11 @@ def seed_centroids(feats, st: Clusters, cfg: StaticConfig):
     )
     cy = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
     cx = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
-    return win[cy, cx] / jnp.maximum(counts[cy, cx], 1.0)[:, None]
+    # flat 1-D gathers (2-D advanced indexing serializes on TPU)
+    flat = cy * W + cx
+    picked = jnp.transpose(win.reshape(10, -1)[:, flat])       # [K, 10]
+    cnt = counts.reshape(-1)[flat]
+    return picked / jnp.maximum(cnt, 1.0)[:, None]
 
 
 def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
@@ -143,12 +150,12 @@ def after_update(feats, weights, st: Clusters, cent, cfg: StaticConfig,
     # subsample-slice the rows like update_xla: only rows == rem (mod
     # stride) contribute, so the accumulation reads 1/stride of the image
     if assignment_sub is not None:
-        feats_s = feats[rem::stride]
+        feats_s = feats[:, rem::stride]
         weights_s = weights[rem::stride]
         asg_s = assignment_sub
         pm_s = pixel_mask_sub
     elif isinstance(stride, int) and stride > 1 and isinstance(rem, int):
-        feats_s = feats[rem::stride]
+        feats_s = feats[:, rem::stride]
         weights_s = weights[rem::stride]
         asg_s = assignment[rem::stride]
         pm_s = pixel_mask[rem::stride] if pixel_mask is not None else None
@@ -181,23 +188,29 @@ def after_update_apply(acc11, st: Clusters, cent):
 
 def after_update_acc(feats_s, weights_s, asg_s, pm_s, K: int):
     """The reduction half of after_update for pre-sliced local inputs:
-    f32 [K+1, 11] weighted feature sums (+ weight sums) of this array's
-    pixels.  Spatial shards psum and then call after_update_apply — the
-    collective analog of the reference's thread-local float accumulators +
-    critical merge (lsc.cpp:245-297)."""
+    feats_s PLANAR f32 [10, Hs, W].  Returns f32 [K+1, 11] weighted feature
+    sums (+ weight sums) of this array's pixels.  Spatial shards psum and
+    then call after_update_apply — the collective analog of the reference's
+    thread-local float accumulators + critical merge (lsc.cpp:245-297).
+    The planar layout feeds the row-layout float segment-sum directly (the
+    old interleaved form paid a [N, 11] transpose per iteration — 30 MB of
+    relayout at 1080p)."""
     mask = asg_s != UNASSIGNED
     if pm_s is not None:
         mask = mask & pm_s
     ids = jnp.where(asg_s != UNASSIGNED, asg_s, K).ravel()
-    wf = jnp.concatenate(
-        [(feats_s * weights_s[..., None]).reshape(-1, 10),
-         weights_s.reshape(-1, 1)], axis=1)
     if jax.default_backend() == "tpu":
+        # weight multiply fused into the kernel (wrow=10): the raw feature
+        # rows + the weight row go in, w*f products never touch HBM
         from ..pallas.segsum_tpu import float_segsum_pallas
+        vals = jnp.concatenate(
+            [feats_s.reshape(10, -1), weights_s.reshape(1, -1)], axis=0)
         return jnp.transpose(float_segsum_pallas(
-            ids, mask.astype(jnp.int32).ravel(), jnp.transpose(wf), K,
-            False))
-    wf = wf * mask.astype(jnp.float32).ravel()[:, None]
+            ids, mask.astype(jnp.int32).ravel(), vals, K, False, wrow=10))
+    wfeats = feats_s * weights_s[None]                      # [10, Hs, W]
+    vals = jnp.concatenate(
+        [wfeats.reshape(10, -1), weights_s.reshape(1, -1)], axis=0)
+    wf = jnp.transpose(vals) * mask.astype(jnp.float32).ravel()[:, None]
     ids_m = jnp.where(mask.ravel(), ids, K)
     tile = 4096
     N = wf.shape[0]
@@ -216,9 +229,9 @@ def features_sharded(planes_l, cfg: StaticConfig, tables, row0, Hl: int,
                      axis_name: str, n_shards: int):
     """Row-sharded :func:`features`: planes_l int32 [3, Hl, W] holds GLOBAL
     rows [row0, row0+Hl); the image-mean feature (lsc.cpp:138-150) is a
-    psum of local sums.  Agreement with the single-device path is
-    tolerance-level (f32 reduction order differs), matching the LSC parity
-    contract."""
+    psum of local sums.  Returns PLANAR feats [10, Hl, W].  Agreement with
+    the single-device path is tolerance-level (f32 reduction order
+    differs), matching the LSC parity contract."""
     H, W = cfg.H, cfg.W
     t = {k: jnp.asarray(v) for k, v in tables.items()}
     ones = jnp.ones([Hl, W], jnp.float32)
@@ -227,7 +240,7 @@ def features_sharded(planes_l, cfg: StaticConfig, tables, row0, Hl: int,
         color6 = lsc_color_feats_pallas(
             planes_l, tables["L_cos"], tables["L_sin"],
             tables["color_cos"], tables["color_sin"])
-        color_parts = [color6[..., i] for i in range(6)]
+        color_parts = [color6[i] for i in range(6)]
     else:
         Lp, Ap, Bp = planes_l[0], planes_l[1], planes_l[2]
         color_parts = [
@@ -244,12 +257,12 @@ def features_sharded(planes_l, cfg: StaticConfig, tables, row0, Hl: int,
             h_cos[:, None] * ones,
             h_sin[:, None] * ones,
         ],
-        axis=-1,
-    )
-    local_sum = jnp.sum(feats.reshape(-1, 10), axis=0)
+        axis=0,
+    )                                                      # [10, Hl, W]
+    local_sum = jnp.sum(feats.reshape(10, -1), axis=1)
     mean_f = jax.lax.psum(local_sum, axis_name) / jnp.float32(H * W)
-    weights = feats @ mean_f
-    feats = feats / weights[..., None]
+    weights = jnp.einsum("chw,c->hw", feats, mean_f)
+    feats = feats / weights[None]
     return feats, weights
 
 
@@ -267,19 +280,19 @@ def seed_centroids_sharded(feats_l, st: Clusters, cfg: StaticConfig, row0,
     up = [(i, i + 1) for i in range(n_shards - 1)]
     down = [(i + 1, i) for i in range(n_shards - 1)]
     if r > 0:
-        above = jax.lax.ppermute(feats_l[-r:], axis_name, up)
-        below = jax.lax.ppermute(feats_l[:r], axis_name, down)
+        above = jax.lax.ppermute(feats_l[:, -r:], axis_name, up)
+        below = jax.lax.ppermute(feats_l[:, :r], axis_name, down)
         above = jnp.where(d > 0, above, jnp.zeros_like(above))
         below = jnp.where(d < n_shards - 1, below, jnp.zeros_like(below))
-        ext = jnp.concatenate([above, feats_l, below], axis=0)
+        ext = jnp.concatenate([above, feats_l, below], axis=1)
     else:
         ext = feats_l
     win = jax.lax.reduce_window(
         ext, 0.0, jax.lax.add,
-        window_dimensions=(2 * r + 1, 2 * r + 1, 1),
+        window_dimensions=(1, 2 * r + 1, 2 * r + 1),
         window_strides=(1, 1, 1),
-        padding=((0, 0), (r, r), (0, 0)),
-    )  # [Hl, W, 10]
+        padding=((0, 0), (0, 0), (r, r)),
+    )  # [10, Hl, W]
     # clamped-window counts in closed form (== reduce_window of ones)
     cy = jnp.clip(st.y.astype(jnp.int32), 0, H - 1)
     cx = jnp.clip(st.x.astype(jnp.int32), 0, W - 1)
@@ -289,6 +302,7 @@ def seed_centroids_sharded(feats_l, st: Clusters, cfg: StaticConfig, row0,
     owns = (cy >= row0) & (cy < row0 + Hl)
     ly = jnp.clip(cy - row0, 0, Hl - 1)
     picked = jnp.where(owns[:, None],
-                       win.reshape(-1, 10)[ly * W + cx], 0.0)
+                       jnp.transpose(win.reshape(10, -1)[:, ly * W + cx]),
+                       0.0)
     total = jax.lax.psum(picked, axis_name)
     return total / jnp.maximum(counts, 1.0)[:, None]

@@ -42,6 +42,19 @@ from ..config import StaticConfig, UNASSIGNED
 
 _U32_MAX = 0xFFFFFFFF
 
+# Raised Mosaic scoped-VMEM limit (default 16 MB; v5e has 128 MB VMEM).
+# The default forced the LSC float kernel to 32-row strips at 1080p widths
+# (measured 20.7 MB at 64x1920 with 10 feature channels) and left the
+# standard kernel one allocator change away from failing (see
+# cca_tpu._SCOPED_VMEM_BYTES — a fresh Mosaic build rejected shapes the
+# round-3 build accepted).
+_SCOPED_VMEM_BYTES = 64 * 2 ** 20
+
+
+def _cparams(interpret: bool):
+    return (None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM_BYTES))
+
 
 def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
                    cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
@@ -129,15 +142,15 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
             dj = jj - cx
             inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
             if manhattan:
-                spf = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
+                sp_f = coef * (jnp.abs(di) + jnp.abs(dj)).astype(jnp.float32)
             else:
                 dif = di.astype(jnp.float32)
                 djf = dj.astype(jnp.float32)
                 # minimum() blocks FMA contraction (see pipeline._nofma)
-                spf = coef * jnp.sqrt(
+                sp_f = coef * jnp.sqrt(
                     jnp.minimum(dif * dif, jnp.float32(3.4e38))
                     + jnp.minimum(djf * djf, jnp.float32(3.4e38)))
-            sp = jnp.trunc(spf).astype(jnp.int32)
+            sp = jnp.trunc(sp_f).astype(jnp.int32)
             cr = lanex(er, s).astype(jnp.int32)
             cg = lanex(eg, s).astype(jnp.int32)
             cb = lanex(eb, s).astype(jnp.int32)
@@ -432,10 +445,11 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     """
     _, Hp, Wp = planes3.shape
     n_feat_in = 0 if feat_planes is None else feat_planes.shape[0]
-    # VMEM budget: the LSC variant holds 3 + n_feat pixel planes plus the
-    # expansion working set per strip; at wide rows*Wp it exceeds the 16 MB
-    # scoped limit (measured: 20.7 MB at 64x1920 with 10 feature channels)
-    rows = 32 if n_feat_in * Wp >= 8 * 1664 else 64
+    # 64-row strips under the raised scoped-VMEM limit (LSC at 1080p
+    # measures 20.7 MB — over the old 16 MB default, comfortably inside
+    # _SCOPED_VMEM_BYTES); fall to 32 only at widths where even the raised
+    # limit would be at risk (~2x the 1080p footprint)
+    rows = 32 if n_feat_in * Wp >= 8 * 5120 else 64
     n_strips = Hp // rows
     CR = _strip_rows_cr(GH, S, stride, rows)
     n_feat = 0 if feat_planes is None else feat_planes.shape[0]
@@ -477,6 +491,7 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
         scratch_shapes=[pltpu.VMEM((rows, Wp), jnp.float32),
                         pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(scal, *(strips[i] for i in range(nf)), *plane_args, old_assign)
     return out_a, out_d
 
@@ -535,6 +550,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
         scratch_shapes=[pltpu.VMEM((rows, Wp), jnp.int32),
                         pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(scal, *(strips[i] for i in range(6)),
       planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d

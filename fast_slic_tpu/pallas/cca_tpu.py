@@ -59,6 +59,12 @@ def _doubling_steps(n, reach=None):
 
 _INT_MIN = -0x80000000
 
+# Doubling-step prefix for local-fixpoint rounds after the first (reach
+# 2^k): later rounds only advance winding components ~one bend, so the
+# long-span steps are mostly wasted VPU work.  A/B'able; see the round
+# comment in _cc_pass_kernel for the exactness argument.
+_SHORT_STEPS = 4
+
 
 def _span_masks(lab, axis, steps, store: str = "i32"):
     """Precompute segmented-doubling span CLAMP VALUES (label-only, so they
@@ -97,7 +103,8 @@ def _span_masks(lab, axis, steps, store: str = "i32"):
     return [jnp.where(o != 0, _INT_MIN, _BIG) for o in oks]
 
 
-def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32"):
+def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32",
+                  steps_limit=None):
     """Segmented min-doubling along `axis`, both directions.
 
     m: int32 running min (candidate component ids), lab: labels.
@@ -105,10 +112,15 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32"):
     equal-label run along the axis (up to `reach` elements away; the outer
     fixpoint loop covers longer runs).  Pass precomputed `masks`
     (_span_masks) when iterating multiple rounds over fixed labels.
+    steps_limit truncates the doubling schedule (reach 2^steps_limit) —
+    used by later local-fixpoint rounds, which only move information ~one
+    bend at a time (the enclosing fixpoint loop keeps correctness).
     """
     steps = _doubling_steps(m.shape[axis], reach)
     if masks is None:
         masks = _span_masks(lab, axis, steps, store)
+    if steps_limit is not None:
+        steps = min(steps, steps_limit)
     for direction in (1, -1):
         cur = m
         for t in range(steps):
@@ -183,13 +195,19 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
         h_masks = _span_masks(lab, 1, h_steps, store)
         v_masks = _span_masks(lab, 0, v_steps, store)
 
-        def one_round(mm):
+        def one_round(mm, steps_limit=None):
             mm = _seg_doubling(mm, lab, axis=1, reach=reach, masks=h_masks,
-                               store=store)
+                               store=store, steps_limit=steps_limit)
             mm = _seg_doubling(mm, lab, axis=0, reach=reach, masks=v_masks,
-                               store=store)
+                               store=store, steps_limit=steps_limit)
             return mm
 
+        # round 1 runs the full doubling schedule (covers any straight run
+        # up to `reach` in one shot); later local-fixpoint rounds only move
+        # information ~one bend further, so they run a SHORT schedule
+        # (reach 2^_SHORT_STEPS) at ~60% less VPU work per round — the
+        # while_loop's no-change condition keeps the local fixpoint exact
+        # (a long run revealed late just takes extra short rounds).
         m2 = one_round(m)
 
         def cond(carry):
@@ -198,10 +216,18 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
 
         def body(carry):
             mm, _ = carry
-            mm2 = one_round(mm)
+            mm2 = one_round(mm, _SHORT_STEPS)
             return mm2, jnp.any(mm2 != mm)
 
         m, _ = jax.lax.while_loop(cond, body, (m2, jnp.any(m2 != m)))
+        # Exactness: the short schedule still contains the 1-step exchange
+        # in both directions of both axes, so a round with NO change means
+        # m[i] <= m[j] for every 4-connected equal-label neighbor pair in
+        # both orders — i.e. m is CONSTANT on every 4-connected region of
+        # the strip, and since min-propagation is monotone and the region's
+        # min is in the region, that constant IS the strip-local fixpoint
+        # value.  Truncating the schedule therefore never changes the
+        # result, only the round count.
         out_ref[:] = m
         chg_ref[:] = jnp.broadcast_to(
             jnp.any(m != m0).astype(jnp.int32), chg_ref.shape)
@@ -240,6 +266,8 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
         out_shape=[jax.ShapeDtypeStruct((Hp, W), jnp.int32),
                    jax.ShapeDtypeStruct((n_strips * 8, 128), jnp.int32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
     )(act2, labels, labels, labels, m, m, m)
     return out, chg[::8, 0]
 
@@ -251,8 +279,22 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
 # parameter of propagate_min_pallas.
 DEFAULT_STRIP = 96
 
-# Mosaic's scoped-VMEM stack limit per kernel.  Calibrated against measured
-# compile OOMs at Wp=1920 (each [96, 1920] i32 buffer = 0.74 MB):
+# Mosaic's DEFAULT scoped-VMEM stack limit is 16 MB — conservative (v5e has
+# 128 MB of VMEM; the default leaves room for fused-program co-residency
+# that a standalone strip kernel doesn't need).  The kernel requests a
+# raised limit so the strip sizes that make the provably-2-pass phase cover
+# work (96 at 720p, 144 at 1080p) compile: round-5 measurement found a
+# fresh Mosaic build rejecting strip=96 at Wp=1280 with 16.38 MB of scoped
+# stack (384 KB over the default), and strip>=144 at Wp=1920 was always
+# over it (the round-3 "144/192 fail to compile" finding — a limit
+# artifact, not a hardware one).
+_SCOPED_VMEM_BYTES = 64 * 2 ** 20
+
+# Chooser budget, against the ESTIMATE below.  The estimate underestimates
+# the Mosaic allocator's real stack by up to ~35% (measured: est 12.5 MB vs
+# actual 16.38 MB at 96x1280/i32), so the budget keeps ~35% headroom below
+# the requested scoped limit.  Calibration at Wp=1920 (each [96, 1920] i32
+# buffer = 0.74 MB):
 #   strip=96/i32    -> 20.43 MB  =  14 mask buffers + io + ~9.5 temp buffers
 #   strip=96/packed -> 21.11 MB  =   2 mask buffers + io + ~22.5 temp buffers
 # i.e. the live TEMPORARIES dominate, and the packed store's per-step
@@ -260,8 +302,8 @@ DEFAULT_STRIP = 96
 # storage — so "packed" never wins under this Mosaic allocator and the
 # chooser prefers i32 at shrinking strip heights.  (Sub-32-bit mask dtypes
 # are no option at all: Mosaic lays i8/bf16 vectors out 32-bit unpacked and
-# their compares trip an i1-relayout bug.)  Keep margin below the hard 16 MB.
-_VMEM_LIMIT = 15 * 2 ** 20
+# their compares trip an i1-relayout bug.)
+_VMEM_LIMIT = 40 * 2 ** 20
 _TEMP_BUFFERS = {"i32": 10, "packed": 23}
 
 
@@ -276,14 +318,25 @@ def _vmem_estimate(strip: int, Wp: int, reach: int, store: str) -> int:
 
 
 def _choose_strip_store(Wp: int, reach: int, strip: int | None,
-                        store: str | None):
+                        store: str | None, bounded_h: int | None = None):
     """Pick (strip, mask store) under the VMEM budget (see the calibration
     note above: i32 is both the fastest and the smallest-footprint store in
     practice, so the fallback ladder only shrinks the strip).  An explicitly
-    passed strip keeps the A/B meaning: only the store is resolved."""
+    passed strip keeps the A/B meaning: only the store is resolved.
+
+    When the caller's content bound needs a TALLER strip for the
+    provably-2-pass phase cover (bounded_h <= strip/2 + 1 — e.g. 1080p
+    K=1600 has 2S+1 = 73, needing strip 144), that strip is tried first:
+    2-pass mode replaces the whole fixpoint loop, worth far more than the
+    per-strip VMEM it costs under the raised scoped limit."""
     if strip is not None:
         return strip, store or "i32"
-    for cand_strip in (DEFAULT_STRIP, 64, 48, 32):
+    ladder = [DEFAULT_STRIP, 64, 48, 32]
+    if bounded_h is not None and bounded_h > DEFAULT_STRIP // 2 + 1:
+        want = -(-2 * (bounded_h - 1) // 16) * 16
+        if want > DEFAULT_STRIP:
+            ladder = [want] + ladder
+    for cand_strip in ladder:
         cand_store = store or "i32"
         if _vmem_estimate(cand_strip, Wp, reach, cand_store) <= _VMEM_LIMIT:
             return cand_strip, cand_store
@@ -332,7 +385,8 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
     if reach is None:
         reach = W
     Wp_probe = -(-W // 128) * 128
-    strip, store = _choose_strip_store(Wp_probe, reach, strip, store)
+    strip, store = _choose_strip_store(Wp_probe, reach, strip, store,
+                                       bounded_h)
     half = strip // 2
     Hp = -(-H // strip) * strip
     Wp = -(-W // 128) * 128

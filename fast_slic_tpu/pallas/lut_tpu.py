@@ -353,10 +353,13 @@ def _lsc_feat_kernel(lcos_ref, lsin_ref, ccos_ref, csin_ref, rgb_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lsc_color_feats_pallas(planes, lcos, lsin, ccos, csin,
                            interpret: bool | None = None):
-    """planes int32 [3, H, W] planar (quantized L, a, b) -> f32 [H, W, 6]
-    LSC color features, identical to gathering the 256-entry host tables
-    (ops/lsc.py features(); the XLA gather form executes serially at
-    ~8 ns/element — ~100 ms for six lookups at 1080p)."""
+    """planes int32 [3, H, W] planar (quantized L, a, b) -> f32 [6, H, W]
+    PLANAR LSC color features, identical to gathering the 256-entry host
+    tables (ops/lsc.py features(); the XLA gather form executes serially at
+    ~8 ns/element — ~100 ms for six lookups at 1080p).  The kernel computes
+    planar rows natively, and every downstream consumer (the padded
+    [n_feat, Hp, Wp] kernel planes, the row-layout float segment-sum) wants
+    planar — the old [H, W, 6] interleave was an 83 MB relayout at 1080p."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     _, H, W = planes.shape
@@ -382,5 +385,4 @@ def lsc_color_feats_pallas(planes, lcos, lsin, ccos, csin,
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
         interpret=interpret,
     )(t2d(lcos), t2d(lsin), t2d(ccos), t2d(csin), rows)
-    return jnp.stack([out[c, :n] for c in range(6)], axis=-1).reshape(
-        H, W, 6)
+    return out[:6, :n].reshape(6, H, W)

@@ -352,7 +352,7 @@ def framed_segment_sum_pallas(ids, vals, num_segments_f: int,
     return out[:, :V, :num_segments_f]
 
 
-def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
+def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile, wrow=None):
     """Band-guarded f32 segment-sum (LSC weighted feature accumulation).
 
     ids_ref [8, tile] i32 (row 0 = segment ids, row 1 = 0/1 mask);
@@ -373,6 +373,14 @@ def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
     ids = ids_ref[0:1, :]
     mask = ids_ref[1:2, :].astype(jnp.float32)
     vals = vals_ref[:] * mask
+    if wrow is not None:
+        # weighted accumulation with the multiply IN-KERNEL: rows < wrow
+        # are multiplied by row wrow (the per-pixel weight) here instead of
+        # materializing the weighted product in HBM (a [10, Hs, W]
+        # read+write per LSC iteration).  Bit-identical: mask is 0/1, so
+        # (f*mask)*(w*mask) == (f*w)*mask exactly.
+        w = vals[wrow:wrow + 1, :]
+        vals = jnp.concatenate([vals[:wrow] * w, vals[wrow:]], axis=0)
     v_h = vals.astype(jnp.bfloat16)
     r1 = vals - v_h.astype(jnp.float32)
     v_m = r1.astype(jnp.bfloat16)
@@ -402,11 +410,15 @@ def _fsegsum_kernel(ids_ref, vals_ref, out_ref, *, tile):
     jax.lax.fori_loop(band_lo, band_hi + 1, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
-def float_segsum_pallas(ids, mask, vals, num_segments: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret",
+                                             "wrow"))
+def float_segsum_pallas(ids, mask, vals, num_segments: int, interpret: bool,
+                        wrow: int | None = None):
     """ids int32 [N] in [0, num_segments] (masked pixels should carry a
     nearby valid id so the hi-bucket band stays tight), mask int32 [N],
-    vals f32 [V, N] with V <= 16.  Returns f32 [V, num_segments + 1]."""
+    vals f32 [V, N] with V <= 16.  Returns f32 [V, num_segments + 1].
+    wrow: if set, rows < wrow are multiplied by row wrow in-kernel (the
+    weighted-accumulation fusion — see _fsegsum_kernel)."""
     V, N = vals.shape
     assert V <= 16
     tile = 4096
@@ -422,7 +434,7 @@ def float_segsum_pallas(ids, mask, vals, num_segments: int, interpret: bool):
     vp = jnp.zeros((16, Np), jnp.float32).at[:V, :N].set(vals)
 
     out = pl.pallas_call(
-        functools.partial(_fsegsum_kernel, tile=tile),
+        functools.partial(_fsegsum_kernel, tile=tile, wrow=wrow),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
                   pl.BlockSpec((16, tile), lambda i: (0, i))],

@@ -264,7 +264,7 @@ def _compiled_spatial_explicit(cfg: StaticConfig, max_iter: int,
                 lsc_feats_l, st, cfg, row0, Hl, "space", D)
             if pipeline._use_pallas_any(cfg_local):
                 fp3_l = pipeline._pad_planes_for_pallas(
-                    lsc_feats_l, cfg_local, jnp.float32, planar=False)
+                    lsc_feats_l, cfg_local, jnp.float32)
 
         p3_l = (pipeline._pad_planes_for_pallas(planes_l, cfg_local)
                 if pipeline._use_pallas_any(cfg_local) else None)

@@ -294,6 +294,10 @@ def assign_xla(planes, st: Clusters, cand, cfg: StaticConfig, coef,
     p0 = planes[0]
     p1 = planes[1]
     p2 = planes[2]
+    if lsc_feats is not None:
+        # oracle path works in interleaved [H, W, 10] (features are planar
+        # [10, H, W] everywhere else; this is the slow reference arch)
+        lsc_feats = jnp.moveaxis(lsc_feats, 0, -1)
 
     # Ties break by candidate slot index == reference visit order
     # (build_candidates sorts slots by visit_order_key).
@@ -961,8 +965,7 @@ def stage_loop(planes, st: Clusters, lsc_state, cfg: StaticConfig,
     lsc_feats, lsc_w, lsc_cent = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
                       if _use_pallas_any(cfg) else None)
-    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
-                                           planar=False)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
                     if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                     else None)
 
@@ -1049,8 +1052,7 @@ def stage_full_assign(planes, st: Clusters, lsc_state, lsc_cent, assignment,
     lsc_feats, lsc_w, _ = lsc_state
     planes3_padded = (_pad_planes_for_pallas(planes, cfg)
                       if _use_pallas_any(cfg) else None)
-    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
-                                           planar=False)
+    feats_padded = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
                     if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                     else None)
     # preemptive_grid.finalize (preemptive.h:69-74): everyone active again
@@ -1172,8 +1174,7 @@ def compiled_profile_phases(cfg: StaticConfig, stride: int):
     def f_prep(planes, lsc_feats):
         p3 = (_pad_planes_for_pallas(planes, cfg)
               if _use_pallas_any(cfg) else None)
-        fp3 = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32,
-                                      planar=False)
+        fp3 = (_pad_planes_for_pallas(lsc_feats, cfg, jnp.float32)
                if _use_pallas_any(cfg) and cfg.variant == VARIANT_LSC
                else None)
         assignment = jnp.full([cfg.H, cfg.W], UNASSIGNED, jnp.int32)

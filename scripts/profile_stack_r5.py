@@ -113,18 +113,6 @@ def main():
     cfg = StaticConfig(H=H, W=W, K=K, arch="pallas")
     sc = pipeline.derive_scalars(cfg, 10.0, 0.1, 0.05)
 
-    def upto(stage):
-        def fn(images, st):
-            out = stack_lib.iterate_graph_stacked(
-                images, st, cfg, sc,
-                0 if stage == "setup" else MAX_ITER, STRIDE)
-            if stage == "setup":
-                # setup-only proxy: loop 0 iterations, full assign + CCA
-                # still run — use the full graph with mi=0
-                return (out.labels[:, ::97, ::97],)
-            return (out.labels[:, ::97, ::97],)
-        return fn
-
     for mi in (0, 1, 4, 10):
         def fn(images, st, mi=mi):
             out = stack_lib.iterate_graph_stacked(images, st, cfg, sc, mi,

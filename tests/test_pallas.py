@@ -121,8 +121,7 @@ def test_assign_pallas_lsc_matches_xla(rng):
     ref = pipeline.assign_xla(planes, st, cand, cfg_x, scal.coef, old,
                               0, 1, lsc_feats, lsc_cent)
     p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
-    fp3 = pipeline._pad_planes_for_pallas(lsc_feats, cfg_p, jnp.float32,
-                                          planar=False)
+    fp3 = pipeline._pad_planes_for_pallas(lsc_feats, cfg_p, jnp.float32)
     got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p, scal.coef,
                                    old, 0, 1, lsc_feats, lsc_cent, fp3)
     np.testing.assert_array_equal(np.asarray(got.assignment),
@@ -262,7 +261,7 @@ def test_lsc_color_feats_pallas_matches_gather(rng):
         [t["L_cos"][planes[..., 0]], t["L_sin"][planes[..., 0]],
          t["color_cos"][planes[..., 1]], t["color_sin"][planes[..., 1]],
          t["color_cos"][planes[..., 2]], t["color_sin"][planes[..., 2]]],
-        axis=-1)
+        axis=0)
     np.testing.assert_array_equal(got, ref)
 
 
@@ -280,6 +279,42 @@ def test_float_segsum_pallas_matches_scatter(rng):
     # merges; the reference here sums serially)
     np.testing.assert_allclose(got, ref.T.astype(np.float32), rtol=2e-6,
                                atol=1e-4)
+
+
+def test_float_segsum_wrow_fusion_matches_premultiplied(rng):
+    """The in-kernel weight multiply (wrow) must be bit-identical to
+    feeding pre-multiplied values (mask is 0/1, so (f*mask)*(w*mask) ==
+    (f*w)*mask exactly)."""
+    from fast_slic_tpu.pallas.segsum_tpu import float_segsum_pallas
+    N, K = 5000, 300
+    ids = np.sort(rng.integers(0, K + 1, size=N)).astype(np.int32)
+    mask = (rng.random(N) < 0.9).astype(np.int32)
+    feats = (rng.random((10, N)) * 4 - 2).astype(np.float32)
+    w = (rng.random(N) * 2 + 0.5).astype(np.float32)
+    vals_raw = np.concatenate([feats, w[None]], axis=0)
+    vals_pre = np.concatenate([feats * w[None], w[None]], axis=0)
+    fused = np.asarray(float_segsum_pallas(
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(vals_raw), K,
+        True, wrow=10))
+    pre = np.asarray(float_segsum_pallas(
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(vals_pre), K,
+        True))
+    np.testing.assert_array_equal(fused, pre)
+
+
+def test_framed_segsum_matches_per_frame(rng):
+    """framed_segment_sum_pallas == B independent segment_sum_pallas calls."""
+    from fast_slic_tpu.pallas.segsum_tpu import (framed_segment_sum_pallas,
+                                                 segment_sum_pallas)
+    B, Nf, V, MF = 3, 5000, 5, 300
+    ids = np.sort(rng.integers(0, MF, size=(B, Nf)), axis=1).astype(np.int32)
+    vals = rng.integers(0, 1 << 14, size=(V, B, Nf)).astype(np.int32)
+    got = np.asarray(framed_segment_sum_pallas(
+        jnp.asarray(ids), jnp.asarray(vals), MF, True))     # [B, V, MF]
+    for b in range(B):
+        ref = np.asarray(segment_sum_pallas(
+            jnp.asarray(ids[b]), jnp.asarray(vals[:, b]), MF, True))
+        np.testing.assert_array_equal(got[b], ref[:, :MF])
 
 
 def test_assign_occ_skip_equivalence(rng, monkeypatch):
