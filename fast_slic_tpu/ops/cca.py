@@ -33,10 +33,12 @@ more than MAXC components (pathologically fragmented label maps).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import UNASSIGNED
 
@@ -128,24 +130,12 @@ def enforce_connectivity_xla(assignment, K: int, min_threshold,
     return labels
 
 
-def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
-                                     max_components: int | None = None,
-                                     S: int | None = None):
-    """Like :func:`enforce_connectivity_xla` but also returns a bool scalar
-    flagging the cases where this implementation can deviate from the
-    reference (see module docstring): top-K boundary-area ties, or more than
-    max_components components.  Callers wanting bit-parity re-run the host
-    CCA (native.enforce_connectivity_native) when the flag fires.
-
-    Implementation notes (all shaped by measured TPU behavior): NO
-    pixel-granularity gathers/scatters, NO searchsorted/nonzero/top_k —
-    those execute serially (~7 ns/element) inside composed programs.
-    Components are numbered by a 2-D prefix count of leaders; per-pixel
-    component ids and the final relabeling are *value propagations* over the
-    same Pallas kernel that finds the components; areas/leaders come from
-    the one-hot-matmul segment sum; and the top-K area cutoff is an
-    elementwise binary search over the area value range.
-    """
+def _cca_core(assignment, max_components: int | None, S: int | None):
+    """The propagation + aggregation half of connectivity enforcement:
+    [H, W] labels -> (comp_flat [n] per-pixel component ids, areas [maxc],
+    orphan-adoption target [maxc], num_components, overflow flag, small,
+    on_tpu).  Shared by the fused path (enforce_connectivity_xla_flagged)
+    and the selection-only re-run path (cca_parts / cca_relabel)."""
     from ..pipeline import segment_sum_matmul
     from ..pallas.cca_tpu import propagate_min_pallas
 
@@ -208,6 +198,136 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
                              max_val=max(n >> 16, 16383))[:maxc]
     areas = acc[:, 0]
     target = acc[:, 1] * 16384 + acc[:, 2]
+    return (comp_flat, areas, target, num_components, overflow, small,
+            on_tpu)
+
+
+def cca_parts(assignment, max_components: int, S: int | None):
+    """Device half of the selection-only tie re-run: [H, W] raw labels ->
+    (comp_flat [n] int32 — keep ON DEVICE for cca_relabel — and the small
+    arrays the host selection needs: areas [maxc], target [maxc],
+    num_components).  See runner/batch tie escalation: when the top-K
+    boundary-area tie flag fires, the EXACT survivor set is a sequential
+    libstdc++ heap simulation (no closed form — NOTES.md round 5), so the
+    host runs the selection on these ~KB-sized arrays and the relabel goes
+    back through the device — instead of shipping the whole label map to a
+    host CCA re-run."""
+    comp_flat, areas, target, num_components, _, _, _ = _cca_core(
+        assignment, max_components, S)
+    return comp_flat, areas, target, num_components
+
+
+def cca_relabel(comp_flat, substitute, shape):
+    """labels = substitute[comp_flat], via the banded-lookup kernel on TPU
+    (substitute is the host-computed exact table; UNASSIGNED maps through
+    as provided)."""
+    maxc = substitute.shape[0]
+    if (comp_flat.shape[0] <= _JUMP_TABLE_LIMIT
+            or jax.default_backend() != "tpu"):
+        return substitute[comp_flat].reshape(shape)
+    from ..pallas.segsum_tpu import banded_lookup_pallas
+    return banded_lookup_pallas(comp_flat, substitute, maxc,
+                                False).reshape(shape)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_parts(H: int, W: int, maxc: int, S):
+    def fn(raw):
+        comp_flat, areas, target, ncomp = cca_parts(raw, maxc, S)
+        small = jnp.concatenate([areas, target, ncomp.reshape(1)])
+        return comp_flat, small          # ONE host fetch for the selection
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_relabel(H: int, W: int, maxc: int):
+    def fn(comp_flat, substitute):
+        return cca_relabel(comp_flat, substitute, (H, W))
+    return jax.jit(fn)
+
+
+def selection_rerun_device(raw_f, K: int, maxc: int, S, thres: int):
+    """Exact tie-flag escalation WITHOUT a host CCA re-run: the device
+    recomputes components/areas/targets from the raw assignment (labels
+    stay on device), the host runs only the sequential selection
+    (substitutes_np — the part with no data-parallel form) on two [maxc]
+    arrays, and the corrected substitute table relabels on device.
+
+    Returns device labels int32 [H, W] — or None when the frame has more
+    than ``maxc`` components (the clamped ranks would corrupt areas; the
+    caller falls back to the full native host CCA).
+
+    Data moved per flagged frame: ~2 small device fetches (the [2*maxc+1]
+    selection arrays) + one [maxc] upload, vs the old path's full [H, W]
+    label-map download + 12.8 ms host union-find + full upload.
+    """
+    H, W = raw_f.shape
+    comp_flat, small = _compiled_parts(H, W, maxc, S)(raw_f)
+    small_np = np.asarray(small)
+    ncomp = int(small_np[-1])
+    if ncomp > maxc:
+        return None
+    sub = substitutes_np(small_np[:maxc], small_np[maxc:2 * maxc], ncomp,
+                         K, thres)
+    sub_full = np.zeros([maxc], np.int32)
+    sub_full[:ncomp] = sub
+    return _compiled_relabel(H, W, maxc)(comp_flat, jnp.asarray(sub_full))
+
+
+def substitutes_np(areas, target, num_components: int, K: int,
+                   min_threshold: int):
+    """EXACT host selection half of ConnectivityEnforcer::execute
+    (cca.cpp:212-264) from per-component arrays: area thresholding, the
+    libstdc++ partial_sort survivor set (heap simulation — its tie behavior
+    has no closed form), leader-order renumbering, the component-0 rule and
+    orphan adoption through the target DAG.  Mirrors
+    oracle.numpy_ref.enforce_connectivity_np's selection, which is pinned
+    against the reference binary."""
+    from ..oracle.numpy_ref import heap_select_topk
+
+    nc = int(num_components)
+    areas = np.asarray(areas)[:nc]
+    target = np.asarray(target)[:nc]
+    substitute = np.full([nc], UNASSIGNED, np.int64)
+    comps = np.nonzero(areas >= min_threshold)[0]
+    if comps.size > K:
+        comps = np.sort(heap_select_topk(comps.tolist(), areas, K))
+    substitute[comps] = np.arange(comps.size)
+    if nc > 0 and substitute[0] == UNASSIGNED:
+        substitute[0] = 0
+    # ascending resolution: a donor's leader pixel precedes this leader, so
+    # its component id is smaller and already resolved (cca.cpp:240-254)
+    for c in range(nc):
+        if substitute[c] != UNASSIGNED:
+            continue
+        subs = substitute[target[c]]
+        substitute[c] = 0 if subs == UNASSIGNED else subs
+    return substitute.astype(np.int32)
+
+
+def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
+                                     max_components: int | None = None,
+                                     S: int | None = None):
+    """Like :func:`enforce_connectivity_xla` but also returns a bool scalar
+    flagging the cases where this implementation can deviate from the
+    reference (see module docstring): top-K boundary-area ties, or more than
+    max_components components.  Callers wanting bit-parity re-run the host
+    CCA (native.enforce_connectivity_native) when the flag fires.
+
+    Implementation notes (all shaped by measured TPU behavior): NO
+    pixel-granularity gathers/scatters, NO searchsorted/nonzero/top_k —
+    those execute serially (~7 ns/element) inside composed programs.
+    Components are numbered by a 2-D prefix count of leaders; per-pixel
+    component ids and the final relabeling are *value propagations* over the
+    same Pallas kernel that finds the components; areas/leaders come from
+    the one-hot-matmul segment sum; and the top-K area cutoff is an
+    elementwise binary search over the area value range.
+    """
+    comp_flat, areas, target, num_components, overflow, small, on_tpu = (
+        _cca_core(assignment, max_components, S))
+    H, W = assignment.shape
+    n = H * W
+    maxc = min(n, max_components) if max_components else n
 
     citoa = jnp.arange(maxc, dtype=jnp.int32)
     valid_comp = citoa < num_components
@@ -322,12 +442,18 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
                                         pitch: int, frame_h: int,
                                         min_threshold,
                                         max_components: int, S: int):
-    """Frame-aware CCA over a batched canvas (parallel/canvas.py).
+    """Frame-aware CCA over a batched canvas (parallel/canvas.py) or a
+    spacer-less frame stack (parallel/stack.py, pitch == frame_h).
 
     assignment: int32 [B*pitch, W]; frame f occupies rows
     [f*pitch, f*pitch + frame_h), labels in [f*K_frame, (f+1)*K_frame);
-    spacer rows are UNASSIGNED.  ``max_components`` is the PER-FRAME
-    component cap (what a standalone frame would use).  Reproduces the
+    spacer rows (if any) are UNASSIGNED.  With pitch == frame_h the frames
+    abut: offset labels still never merge across frames, and the one
+    cross-frame hazard — UNASSIGNED regions touching across the boundary —
+    only affects frames that are flagged (unassigned_f) for host re-run
+    anyway (frame-local segment ids are clipped so the kernel stays in
+    range).  ``max_components`` is the PER-FRAME component cap (what a
+    standalone frame would use).  Reproduces the
     per-frame semantics of ``enforce_connectivity_xla_flagged`` exactly:
     every frame is thresholded, top-K-selected and renumbered from 0
     independently, as if each had been processed standalone (reference

@@ -344,14 +344,30 @@ class BatchedSlic:
                             scalars, labels, both, raw)
 
     def _host_cca_rerun(self, labels, raw, flags_np, cfg, scalars):
-        """Bit-parity escalation: re-run connectivity enforcement on the
-        host for every flagged frame (CCA top-K area tie / unassigned
-        pixels / component overflow — ops/cca.py docstring)."""
-        from .. import native
-        labels_np = np.asarray(labels).copy()
-        raw_np = np.asarray(raw)
+        """Bit-parity escalation for flagged frames (CCA top-K area tie /
+        unassigned pixels / component overflow — ops/cca.py docstring).
+
+        Ladder per frame: (1) selection-only re-run — device recomputes
+        components from the (device-resident) raw assignment, the host
+        runs just the sequential heap selection, the device relabels —
+        labels never leave the device; (2) full host CCA when the frame
+        overflows the per-frame component cap."""
+        from ..ops.cca import selection_rerun_device
         K = cfg.frame_K if cfg.is_canvas else cfg.K
+        maxc = (cfg.frame_max_components if cfg.is_canvas
+                else cfg.effective_max_components)
+        raw_np = None
         for f in np.nonzero(flags_np)[0]:
+            fixed_dev = selection_rerun_device(
+                raw[int(f)], K, maxc, cfg.S, int(scalars.thres))
+            if fixed_dev is not None:
+                fixed_dev = jnp.where(fixed_dev == UNASSIGNED, -1,
+                                      fixed_dev)
+                labels = labels.at[int(f)].set(fixed_dev)
+                continue
+            from .. import native
+            if raw_np is None:
+                raw_np = np.asarray(raw)
             if native.available():
                 fixed = native.enforce_connectivity_native(
                     raw_np[f], K, int(scalars.thres))
@@ -362,8 +378,8 @@ class BatchedSlic:
                     jnp.int32(int(scalars.thres))))
             out_f = fixed.astype(np.int32)
             out_f[fixed == UNASSIGNED] = -1
-            labels_np[f] = out_f
-        return jnp.asarray(labels_np)
+            labels = labels.at[int(f)].set(jnp.asarray(out_f))
+        return labels
 
 
 class PendingBatch:

@@ -85,24 +85,37 @@ def run_iterate(cfg: StaticConfig, image: np.ndarray, clusters: Clusters,
             if bool(np.asarray(out.cca_tie)):
                 # Rare: component areas tie exactly at the top-K boundary,
                 # where the device CCA's deterministic rule can differ from
-                # the reference's std::partial_sort.  Re-run CCA on host for
-                # bit-parity (ops/cca.py docstring).
+                # the reference's std::partial_sort (whose tie behavior has
+                # no closed form — NOTES.md round 5).  Exact escalation
+                # ladder: (1) selection-only re-run — the device recomputes
+                # components/areas, the host runs just the sequential heap
+                # selection on [maxc] arrays, the device relabels
+                # (ops.cca.selection_rerun_device); (2) full host CCA on
+                # per-frame component overflow.
                 with timer.scope("enforce_connectivity_host"):
-                    from . import native
-                    raw = np.asarray(out.raw_assignment)
-                    if native.available():
-                        fixed = native.enforce_connectivity_native(
-                            raw, cfg.K, int(scalars.thres))
-                    else:  # pragma: no cover - g++ present in supported envs
-                        # uncapped re-run (maxc = n: no overflow, and the
-                        # gather paths are fine on host) so the labels are
-                        # at least valid; only boundary-tie ORDER can then
-                        # differ from the reference
-                        from .ops.cca import enforce_connectivity_xla
-                        import jax.numpy as jnp
-                        fixed = np.asarray(enforce_connectivity_xla(
-                            jnp.asarray(raw.astype(np.int32)), cfg.K,
-                            jnp.int32(int(scalars.thres))))
+                    from .ops.cca import selection_rerun_device
+                    fixed_dev = selection_rerun_device(
+                        out.raw_assignment, cfg.K,
+                        cfg.effective_max_components, cfg.S,
+                        int(scalars.thres))
+                    if fixed_dev is not None:
+                        fixed = np.asarray(fixed_dev)
+                    else:
+                        from . import native
+                        raw = np.asarray(out.raw_assignment)
+                        if native.available():
+                            fixed = native.enforce_connectivity_native(
+                                raw, cfg.K, int(scalars.thres))
+                        else:  # pragma: no cover - g++ in supported envs
+                            # uncapped re-run (maxc = n: no overflow, and
+                            # the gather paths are fine on host) so the
+                            # labels are at least valid; only boundary-tie
+                            # ORDER can then differ from the reference
+                            from .ops.cca import enforce_connectivity_xla
+                            import jax.numpy as jnp
+                            fixed = np.asarray(enforce_connectivity_xla(
+                                jnp.asarray(raw.astype(np.int32)), cfg.K,
+                                jnp.int32(int(scalars.thres))))
                     labels = fixed.astype(np.int16)
                     labels[fixed == UNASSIGNED] = -1
             final = Clusters(*(np.asarray(f) for f in (

@@ -188,3 +188,36 @@ def test_two_pass_unbounded_content_falls_back(rng):
         jnp.asarray(labels), strip=16, interpret=True,
         bounded_h=5, content_bounded=jnp.bool_(False)))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_selection_rerun_matches_oracle_on_ties(rng):
+    """The selection-only tie escalation (device parts + host heap
+    selection + device relabel) must reproduce the oracle's (reference's)
+    labels EXACTLY on content whose component areas tie at the top-K
+    boundary — the case the fused device path flags."""
+    from fast_slic_tpu.ops.cca import selection_rerun_device
+
+    # many equal-area blobs: a block grid where K < number of blocks, so
+    # the top-K boundary always lands inside an area tie
+    blocks = rng.integers(0, 4, size=(6, 8)).astype(np.uint16)
+    labels = np.kron(blocks, np.ones((4, 4), np.uint16))
+    K = 4
+    for thres in (0, 5):
+        ours, tie = enforce_connectivity_xla_flagged(
+            jnp.asarray(labels.astype(np.int32)), K, jnp.int32(thres))
+        ref = enforce_connectivity_np(labels, K, thres)
+        fixed = selection_rerun_device(
+            jnp.asarray(labels.astype(np.int32)), K,
+            labels.size, None, thres)
+        assert fixed is not None
+        np.testing.assert_array_equal(np.asarray(fixed),
+                                      ref.astype(np.int32))
+
+
+def test_selection_rerun_overflow_falls_back(rng):
+    """More components than maxc -> selection re-run must refuse (None)."""
+    from fast_slic_tpu.ops.cca import selection_rerun_device
+    labels = (np.indices((16, 16)).sum(0) % 2).astype(np.uint16)  # checker
+    out = selection_rerun_device(jnp.asarray(labels.astype(np.int32)),
+                                 4, 8, None, 0)
+    assert out is None
