@@ -372,8 +372,12 @@ def enforce_connectivity_xla_flagged(assignment, K: int, min_threshold,
     # orphan adoption: chains resolve through the target DAG (targets
     # strictly decrease in leader raster index; component 0 is always
     # labeled, so every chain terminates).  Real images resolve in 1-3
-    # linear hops.
+    # linear hops.  Pad entries' targets (empty segsum bins read 0) are
+    # parked at SELF: a 0 target inside a block of high component ids
+    # widens the banded-lookup chase band to [0, id] (the chase kernel's
+    # cost is the band height, not the element count).
     target = jnp.where(citoa == 0, 0, target)
+    target = jnp.where(valid_comp, target, citoa)
     substitute, unresolved = _resolve_orphans(substitute, target, maxc,
                                               small or not on_tpu)
 
@@ -637,9 +641,14 @@ def enforce_connectivity_canvas_flagged(assignment, K_frame: int, B: int,
     # every frame's component 0 is its always-labeled first real component
     # (frame pixel (0,0) has the frame-min raster index), so orphan chains
     # terminate within their frame; the global guard below only covers the
-    # degenerate empty-frame padding
+    # degenerate empty-frame padding.  Pad entries' targets are parked at
+    # SELF, not 0: a 0 target inside frame f's id block widens the chase
+    # kernel's band to [0, f*MF] — O(B^2) band rows across the batch (THE
+    # super-linear stacked/canvas CCA term; the chase kernel's cost is band
+    # height, not element count).
     citoa = jnp.arange(maxc, dtype=jnp.int32)
     target = jnp.where(citoa % MF == 0, citoa, target)
+    target = jnp.where(valid_comp.reshape(maxc), target, citoa)
     substitute, unresolved = _resolve_orphans(substitute, target, maxc,
                                               small or not on_tpu)
 

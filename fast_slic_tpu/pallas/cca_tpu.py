@@ -143,7 +143,8 @@ def _seg_doubling(m, lab, axis, reach=None, masks=None, store: str = "i32",
 
 
 def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
-                    md_ref, out_ref, chg_ref, *, reach, store):
+                    md_ref, out_ref, chg_ref, *, reach, store,
+                    short_steps):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -216,7 +217,7 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
 
         def body(carry):
             mm, _ = carry
-            mm2 = one_round(mm, _SHORT_STEPS)
+            mm2 = one_round(mm, short_steps)
             return mm2, jnp.any(mm2 != mm)
 
         m, _ = jax.lax.while_loop(cond, body, (m2, jnp.any(m2 != m)))
@@ -234,9 +235,9 @@ def _cc_pass_kernel(act_ref, lab_ref, labu_ref, labd_ref, m_ref, mu_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("strip", "interpret", "reach",
-                                              "store"))
+                                              "store", "short_steps"))
 def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
-               store: str):
+               store: str, short_steps=None):
     """One sweep over the strip grid.  ``active`` int32 [n_strips]: strips
     with 0 copy through.  Returns (m', changed int32 [n_strips])."""
     Hp, W = labels.shape
@@ -258,7 +259,9 @@ def _cc_passes(labels, m, active, strip: int, interpret: bool, reach: int,
     act2 = jnp.broadcast_to(active[:, None, None].astype(jnp.int32),
                             (n_strips, 8, 128)).reshape(n_strips * 8, 128)
     out, chg = pl.pallas_call(
-        functools.partial(_cc_pass_kernel, reach=reach, store=store),
+        functools.partial(_cc_pass_kernel, reach=reach, store=store,
+                          short_steps=(_SHORT_STEPS if short_steps is None
+                                       else (short_steps or None))),
         grid=(n_strips,),
         in_specs=[flag_spec, strip_spec, edge_spec(-1), edge_spec(+1),
                   strip_spec, edge_spec(-1), edge_spec(+1)],
@@ -348,7 +351,8 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
                          reach: int | None = None,
                          store: str | None = None,
                          bounded_h: int | None = None,
-                         content_bounded=None):
+                         content_bounded=None,
+                         short_steps: int | None = None):
     """Propagate the component-wise minimum of m0 over 4-connected
     equal-label regions to fixpoint.  labels, m0: [H, W] int32 (use _BIG-like
     large values in m0 for "no value here").
@@ -418,7 +422,7 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
         d = dilate(chunk)
         active = d.reshape(n_strips, 2).max(axis=1)
         m1, chg = _cc_passes(lab_p, m, active, strip, interpret, reach,
-                             store)
+                             store, short_steps)
         return m1, jnp.broadcast_to(chg[:, None],
                                     (n_strips, 2)).reshape(-1)
 
@@ -430,7 +434,7 @@ def propagate_min_pallas(labels, m0, strip: int | None = None,
         ms = jnp.full((Hp + strip, Wp), _BIG, jnp.int32
                       ).at[half:half + Hp, :].set(m)
         ms, chg = _cc_passes(lab_s, ms, active, strip, interpret, reach,
-                             store)
+                             store, short_steps)
         chunk2 = chg[(cidx + 1) // 2]
         return ms[half:half + Hp, :], chunk2
 

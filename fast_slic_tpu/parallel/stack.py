@@ -88,7 +88,15 @@ def build_candidates_batched(y, x, is_active, cfg: StaticConfig):
     cell9 = jnp.where(ok, ni * GW + nj, num_cells).reshape(B, 9 * K)
     key9 = jnp.broadcast_to(key[:, None, :], (B, 9, K)).reshape(B, 9 * K)
 
-    sc, okey = jax.lax.sort((cell9, key9), num_keys=2)     # per-row sort
+    # composite-key sort (see pipeline.build_candidates): one operand
+    # through the sort network, per-row (per-frame) on the batch axis
+    span = 4 * K
+    if (num_cells + 1) * span < 2 ** 31:
+        comp_key = jax.lax.sort(cell9 * span + key9, dimension=1)
+        sc = comp_key // span
+        okey = comp_key % span
+    else:  # pragma: no cover - needs a ~10^5-cell grid
+        sc, okey = jax.lax.sort((cell9, key9), num_keys=2)
     M = 9 * K
     iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     run_start = jnp.concatenate(

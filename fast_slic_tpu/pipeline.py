@@ -149,10 +149,18 @@ def build_candidates(y, x, is_active, cfg: StaticConfig, key=None):
     cell9 = jnp.where(ok, ni * GW + nj, num_cells).reshape(-1)   # [9K]
     key9 = jnp.broadcast_to(key[None, :], (9, K)).reshape(-1)
 
-    # Lexicographic (cell, visit-key) sort: composite keys are unique for
-    # valid entries (a cluster appears at most once per cell), so the order
-    # is deterministic without stability.
-    sc, okey = jax.lax.sort((cell9, key9), num_keys=2)
+    # Lexicographic (cell, visit-key) sort as ONE composite-key sort: the
+    # visit key is < 4K, so cell*4K + key orders identically to the 2-key
+    # lex sort at half the sort-network operand traffic.  Composite keys
+    # are unique for valid entries (a cluster appears at most once per
+    # cell), so the order is deterministic without stability.
+    span = 4 * K
+    if (num_cells + 1) * span < 2 ** 31:
+        comp_key = jax.lax.sort(cell9 * span + key9)
+        sc = comp_key // span
+        okey = comp_key % span
+    else:  # pragma: no cover - needs a ~10^5-cell grid
+        sc, okey = jax.lax.sort((cell9, key9), num_keys=2)
     M = int(sc.shape[0])
     # within-cell rank: same-cell entries are contiguous after the sort, so
     # rank = index - (index of the run's first entry), the latter a running
