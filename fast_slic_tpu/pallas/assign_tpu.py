@@ -56,21 +56,23 @@ def _cparams(interpret: bool):
             else pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM_BYTES))
 
 
-def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
-                   cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
+def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
+                   cb_ref, cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
                    out_a_ref, out_d_ref, m_ref, a_ref, *, S, GH, GW, C, CR,
                    rows, stride, W_real, H_real, manhattan, spf=0):
     # spf > 0: frame-grid batch mode (parallel/stack.py) — the grid covers
     # B stacked frames of spf strips each; all row/cell math is frame-local.
-    gi = pl.program_id(0) % spf if spf else pl.program_id(0)
+    gi_abs = pl.program_id(0)
+    gi = gi_abs % spf if spf else gi_abs
     Wp = p0_ref.shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
-    # dynamic slot bound: slots >= occ are empty in EVERY cell (computed
-    # grid-wide by the caller), so their bodies can never win a pixel —
-    # skipping them is bit-exact and cuts per-slot VPU/MXU work from the
-    # static capacity C (16) to the content's actual occupancy (~9-13).
-    occ = scal_ref[2].astype(jnp.int32)
+    # dynamic PER-STRIP slot bound: slots >= occ are empty in every cell
+    # THIS STRIP can read (computed per strip by the caller from the
+    # gathered candidate rows), so their bodies can never win one of its
+    # pixels — skipping them is bit-exact and cuts per-slot VPU/MXU work
+    # from the static capacity C (16) to the strip's actual occupancy.
+    occ = occ_ref[gi_abs]
 
     # Rows of this strip are the subsampled rows (row index r maps to the
     # absolute image row r*stride + rem); full passes use stride=1, rem=0.
@@ -187,19 +189,22 @@ def _assign_kernel(scal_ref, cy_ref, cx_ref, cr_ref, cg_ref, cb_ref,
 OCC_BOUND = True
 
 
-def _occupancy(id_field, C):
-    """Dynamic slot bound: 1 + the highest candidate slot index holding any
-    valid id (empty slots carry id = -1 in the folded [GH, C*GW] id field).
-    Slots >= occ are empty in every cell, so the kernels skip their bodies
-    (bit-exact; computed prefix-free so hand-built candidate lists with
-    interior holes still get a sound bound)."""
-    if not OCC_BOUND:  # A/B: always run all C slots
-        return jnp.int32(C)
-    GH, CG = id_field.shape
+def _occupancy_strips(id_strips, C):
+    """PER-STRIP dynamic slot bound: for each strip, 1 + the highest
+    candidate slot index holding any valid id among the cell rows that
+    strip reads (empty slots carry id = -1 in the gathered
+    [n_strips, CR, C*GW] id field).  Slots >= occ[strip] are empty in
+    every cell the strip touches, so its kernel body skips them —
+    bit-exact, and tighter than the old grid-wide bound (computed
+    prefix-free so hand-built candidate lists with interior holes still
+    get a sound bound)."""
+    n_strips, CR, CG = id_strips.shape
     GW = CG // C
-    valid = (id_field.reshape(GH, C, GW) >= 0).any(axis=(0, 2))   # [C]
+    if not OCC_BOUND:  # A/B: always run all C slots
+        return jnp.full([n_strips], C, jnp.int32)
+    valid = (id_strips.reshape(n_strips, CR, C, GW) >= 0).any(axis=(1, 3))
     idx = jnp.arange(1, C + 1, dtype=jnp.int32)
-    return jnp.max(jnp.where(valid, idx, 0))
+    return jnp.max(jnp.where(valid, idx[None, :], 0), axis=1)
 
 
 def _strip_rows_cr(GH: int, S: int, stride: int, rows: int) -> int:
@@ -210,8 +215,9 @@ def _strip_rows_cr(GH: int, S: int, stride: int, rows: int) -> int:
 _F32_MAX = float(np.finfo(np.float32).max)
 
 
-def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
-                         W_real, H_real, manhattan, variant, n_feat, spf=0):
+def _assign_kernel_float(scal_ref, occ_ref, *refs, S, GH, GW, C, CR, rows,
+                         stride, W_real, H_real, manhattan, variant,
+                         n_feat, spf=0):
     """Float-distance assign kernel: the real / real_l2 / real_noq variants
     (reference ContextRealDist* scalar loops, context.cpp:406-499) and LSC
     (lsc.cpp:197-224; SIMD analog avx2.h:193-304).
@@ -239,11 +245,12 @@ def _assign_kernel_float(scal_ref, *refs, S, GH, GW, C, CR, rows, stride,
     (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = field_refs[:6]
     feat_cent_refs = field_refs[6:]
 
-    gi = pl.program_id(0) % spf if spf else pl.program_id(0)
+    gi_abs = pl.program_id(0)
+    gi = gi_abs % spf if spf else gi_abs
     Wp = plane_refs[0].shape[1]
     coef = scal_ref[0]
     rem = scal_ref[1].astype(jnp.int32)
-    occ = scal_ref[2].astype(jnp.int32)  # dynamic slot bound (see above)
+    occ = occ_ref[gi_abs]     # dynamic PER-STRIP slot bound (see above)
     row_abs0 = gi * rows
     base_cell = row_abs0 * stride + rem
     base_cell = jnp.clip(base_cell // S, 0, max(GH - CR, 0))
@@ -468,8 +475,8 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
     cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
-                      rem_i.astype(jnp.float32),
-                      _occupancy(cell_fields[5], C).astype(jnp.float32)])
+                      rem_i.astype(jnp.float32)])
+    occ_s = _occupancy_strips(strips[5], C)
 
     nf = 6 + n_feat
     kernel = functools.partial(
@@ -482,7 +489,8 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
     out_a, out_d = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [cells] * nf +
                  [strip] * (3 + n_feat) + [strip],
         out_specs=(strip, strip),
@@ -492,7 +500,8 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
                         pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
         compiler_params=_cparams(interpret),
-    )(scal, *(strips[i] for i in range(nf)), *plane_args, old_assign)
+    )(scal, occ_s, *(strips[i] for i in range(nf)), *plane_args,
+      old_assign)
     return out_a, out_d
 
 
@@ -532,8 +541,8 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
     cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
-                      rem_i.astype(jnp.float32),
-                      _occupancy(cell_fields[5], C).astype(jnp.float32)])
+                      rem_i.astype(jnp.float32)])
+    occ_s = _occupancy_strips(strips[5], C)
 
     kernel = functools.partial(
         _assign_kernel, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
@@ -541,7 +550,8 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     out_a, out_d = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [cells] * 6 +
                  [strip, strip, strip, strip],
         out_specs=(strip, strip),
@@ -551,7 +561,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                         pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
         compiler_params=_cparams(interpret),
-    )(scal, *(strips[i] for i in range(6)),
+    )(scal, occ_s, *(strips[i] for i in range(6)),
       planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d
 

@@ -208,6 +208,90 @@ def slic_update_pallas(ids, mask, p0, p1, p2, rem, num_segments: int,
     return out[:6, :num_segments + 1]
 
 
+def _update_padded_kernel(scal_ref, a_ref, p0_ref, p1_ref, p2_ref,
+                          out_ref, *, tile, Wp, W_real, Hs, stride, K,
+                          hmod=0):
+    """SLIC update accumulation DIRECTLY from the padded kernel buffers:
+    a_ref = the assign kernel's padded output ([Hsp, Wp] flat, UNASSIGNED
+    in pad rows is NOT guaranteed — pad rows can receive assignments from
+    in-window centers, so validity is recomputed here from the flat index),
+    p0..p2 = the padded plane stacks.  No per-iteration pack/mask/where
+    materialization in HBM (the old path wrote a [8, N] pack ~10 MB per
+    iteration).
+
+    Masked pixels keep the tile's min valid id (band stays tight) with a
+    zero mask.  hmod > 0 = frame-grid batch mode (row coordinates wrap per
+    hmod padded rows; ids already carry the b*K offset via a_ref... callers
+    pass a_ref with frame-local values plus their offset merged upstream).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rem = scal_ref[0]
+    off = scal_ref[1]     # per-frame id stride (hmod mode: K; else unused)
+    a = a_ref[0:1, :]
+    pix = step * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    prow = pix // Wp
+    row = prow % hmod if hmod else prow
+    jj = pix % Wp
+    valid = (a != 0xFFFF) & (row < Hs) & (jj < W_real)
+    mask = valid.astype(jnp.int32)
+    # masked pixels carry the tile's min valid id so the hi-bucket band
+    # stays tight (values are zeroed by the mask); an all-masked tile
+    # parks at frame-local 0
+    safe_min = jnp.min(jnp.where(valid, a, K))
+    safe_min = jnp.where(safe_min == K, 0, safe_min)
+    ids = jnp.where(valid, a, safe_min)
+    if hmod:
+        ids = ids + (prow // hmod) * off     # frame-local -> global bins
+    ii = row * stride + rem
+    vals = jnp.concatenate(
+        [mask, ii * mask, jj * mask,
+         p0_ref[0:1, :] * mask, p1_ref[0:1, :] * mask,
+         p2_ref[0:1, :] * mask,
+         jnp.zeros((2, tile), jnp.int32)], axis=0)        # [8, tile]
+    _segsum_accumulate(ids, vals, out_ref, tile)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_segments", "Wp", "W_real", "Hs", "stride", "interpret", "tile",
+    "hmod"))
+def slic_update_padded_pallas(a_pad, p3_pad, rem, off, num_segments: int,
+                              Wp: int, W_real: int, Hs: int, stride: int,
+                              interpret: bool, tile: int = 4096,
+                              hmod: int = 0):
+    """Update accumulation from padded buffers: a_pad int32 [Hsp, Wp] (the
+    assign kernel's output), p3_pad int32 [3, Hsp, Wp] (the padded plane
+    stack).  Hsp*Wp must be a multiple of ``tile`` (the 64-row strip
+    padding makes it so).  Returns int32 [6, num_segments + 1].
+    """
+    Hsp = a_pad.shape[0]
+    N = Hsp * Wp
+    assert N % tile == 0, (Hsp, Wp, tile)
+    n_tiles = N // tile
+    Kp = -(-(num_segments + 1) // _LO) * _LO
+    n_hi = Kp // _LO
+    scal = jnp.stack([rem.astype(jnp.int32), off.astype(jnp.int32)])
+    flat = pl.BlockSpec((1, tile), lambda i: (0, i))
+    out = pl.pallas_call(
+        functools.partial(_update_padded_kernel, tile=tile, Wp=Wp,
+                          W_real=W_real, Hs=Hs, stride=stride,
+                          K=num_segments, hmod=hmod),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  flat, flat, flat, flat],
+        out_specs=pl.BlockSpec((n_hi * 8, _LO), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_hi * 8, _LO), jnp.int32),
+        interpret=interpret,
+    )(scal, a_pad.reshape(1, N), p3_pad[0].reshape(1, N),
+      p3_pad[1].reshape(1, N), p3_pad[2].reshape(1, N))
+    out = out.reshape(n_hi, 8, _LO).transpose(1, 0, 2).reshape(8, Kp)
+    return out[:6, :num_segments + 1]
+
+
 def _lookup_kernel(ids_ref, tab_ref, out_ref, *, tile):
     """Banded table lookup: out = table[ids] for spatially coherent ids.
 

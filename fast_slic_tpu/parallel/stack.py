@@ -329,17 +329,30 @@ def iterate_graph_stacked(images, st: Clusters, cfg: StaticConfig,
         a_new = run_assign_kernel_stacked(p3_subs[rem], a_subs[rem], st,
                                           cand, cfg, coef, rem, stride, B)
         a_subs[rem] = a_new
-        a3 = a_new.reshape(B, Hsp, Wp)[:, :Hs, :W]
-        a_upd = jnp.where(valid_rows[rem], a3, UNASSIGNED)
         old_y, old_x = st.y, st.x     # set_old_clusters (context.cpp:303)
-        mask_sub = None
-        if cfg.preemptive:
-            pm = jnp.concatenate(
-                [pixel_mask, jnp.zeros((B, pad, W), bool)], axis=1
-            ).reshape(B, Hs, stride, W)
-            mask_sub = pm[:, :, rem]
-        counts, sums = update_accumulate_stacked(p_subs[rem], a_upd, cfg,
-                                                 rem, stride, mask_sub)
+        if jax.default_backend() == "tpu" and not cfg.preemptive:
+            # padded-direct update (see pipeline._stage_loop_subresident):
+            # consumes the assign kernel's padded output + padded planes,
+            # frame offsets applied in-kernel (hmod)
+            from ..pallas.segsum_tpu import slic_update_padded_pallas
+            n_real = -(-(H - rem) // stride)
+            acc6 = slic_update_padded_pallas(
+                a_new, p3_subs[rem], jnp.asarray(rem, jnp.int32),
+                jnp.asarray(K, jnp.int32), B * K, Wp, W, n_real, stride,
+                False, hmod=Hsp)
+            counts = acc6[0, :B * K].reshape(B, K)
+            sums = acc6[1:6, :B * K].reshape(5, B, K)
+        else:
+            a3 = a_new.reshape(B, Hsp, Wp)[:, :Hs, :W]
+            a_upd = jnp.where(valid_rows[rem], a3, UNASSIGNED)
+            mask_sub = None
+            if cfg.preemptive:
+                pm = jnp.concatenate(
+                    [pixel_mask, jnp.zeros((B, pad, W), bool)], axis=1
+                ).reshape(B, Hs, stride, W)
+                mask_sub = pm[:, :, rem]
+            counts, sums = update_accumulate_stacked(
+                p_subs[rem], a_upd, cfg, rem, stride, mask_sub)
         st = update_apply_means_rows(counts, sums, st, cfg)
         if cfg.preemptive:
             st, pixel_mask = _preemptive_step_stacked(

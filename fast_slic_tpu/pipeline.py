@@ -926,6 +926,14 @@ def _stage_loop_subresident(planes, st: Clusters, lsc_state,
     pixel_mask = jnp.ones([H, W], bool)
     cov_acc = jnp.bool_(False)
 
+    # padded-direct update: the segsum kernel consumes the assign kernel's
+    # PADDED output and the padded plane stacks directly (validity/ids/ii
+    # derived in-kernel) — the old path materialized a masked a_upd plane
+    # plus a [8, N] value pack (~10 MB of HBM writes) per iteration
+    use_padded_update = (jax.default_backend() == "tpu"
+                         and not cfg.preemptive and not cfg.is_canvas
+                         and cfg.variant != VARIANT_LSC)
+
     for i in range(max_iter):
         rem = i % stride
         st = _clamp_centers(st, cfg)
@@ -935,16 +943,24 @@ def _stage_loop_subresident(planes, st: Clusters, lsc_state,
                                      a_subs[rem], st, cand, cfg, coef, rem,
                                      stride, lsc_cent)
         a_subs[rem] = a_new
-        a_upd = jnp.where(valid_rows[rem], a_new[:Hs, :W], UNASSIGNED)
         old_y, old_x = st.y, st.x  # set_old_clusters (context.cpp:303)
-        mask_sub = None
-        if cfg.preemptive:
-            pm = jnp.concatenate(
-                [pixel_mask, jnp.zeros((pad, W), bool)], 0
-            ).reshape(Hs, stride, W)
-            mask_sub = pm[:, rem]
-        counts, sums = update_accumulate_presliced(p_subs[rem], a_upd, cfg,
-                                                   rem, stride, mask_sub)
+        if use_padded_update:
+            from .pallas.segsum_tpu import slic_update_padded_pallas
+            acc6 = slic_update_padded_pallas(
+                a_new, p3_subs[rem], jnp.asarray(rem, jnp.int32),
+                jnp.zeros((), jnp.int32), cfg.K, Wp, W, n_reals[rem],
+                stride, False)
+            counts, sums = acc6[0, :cfg.K], acc6[1:6, :cfg.K]
+        else:
+            a_upd = jnp.where(valid_rows[rem], a_new[:Hs, :W], UNASSIGNED)
+            mask_sub = None
+            if cfg.preemptive:
+                pm = jnp.concatenate(
+                    [pixel_mask, jnp.zeros((pad, W), bool)], 0
+                ).reshape(Hs, stride, W)
+                mask_sub = pm[:, rem]
+            counts, sums = update_accumulate_presliced(
+                p_subs[rem], a_upd, cfg, rem, stride, mask_sub)
         st = update_apply_means_rows(counts, sums, st, cfg)
         if cfg.variant == VARIANT_LSC:
             lsc_cent = lsc_ops.after_update(

@@ -302,6 +302,39 @@ def test_float_segsum_wrow_fusion_matches_premultiplied(rng):
     np.testing.assert_array_equal(fused, pre)
 
 
+def test_update_padded_matches_presliced(rng):
+    """slic_update_padded_pallas (validity/ids/coords derived in-kernel
+    from the padded buffers) must equal slic_update_pallas on the masked
+    pre-sliced inputs — including pad rows that carry (ignorable)
+    assignments and frame-grid (hmod) offsets."""
+    from fast_slic_tpu.pallas.segsum_tpu import (slic_update_padded_pallas,
+                                                 slic_update_pallas)
+    K, Wp, W, Hsp, Hs, stride, rem = 24, 128, 100, 64, 40, 3, 1
+    for B in (1, 3):
+        a_pad = rng.integers(0, K, size=(B * Hsp, Wp)).astype(np.int32)
+        # sprinkle UNASSIGNED + give pad rows live-looking values
+        a_pad[rng.random((B * Hsp, Wp)) < 0.07] = 0xFFFF
+        p3 = rng.integers(0, 256, size=(3, B * Hsp, Wp)).astype(np.int32)
+        hmod = Hsp if B > 1 else 0
+        got = np.asarray(slic_update_padded_pallas(
+            jnp.asarray(a_pad), jnp.asarray(p3), jnp.int32(rem),
+            jnp.int32(K), B * K, Wp, W, Hs, stride, True, hmod=hmod))
+        # reference: mask + offset host-side, feed the pack-based kernel
+        a3 = a_pad.reshape(B, Hsp, Wp)
+        rowv = (np.arange(Hsp) < Hs)[None, :, None]
+        colv = (np.arange(Wp) < W)[None, None, :]
+        valid = (a3 != 0xFFFF) & rowv & colv
+        offs = (np.arange(B, dtype=np.int32) * K)[:, None, None]
+        ids = np.where(valid, a3 + offs, offs)
+        ref = np.asarray(slic_update_pallas(
+            jnp.asarray(ids.reshape(-1)),
+            jnp.asarray(valid.astype(np.int32).reshape(-1)),
+            jnp.asarray(p3[0].ravel()), jnp.asarray(p3[1].ravel()),
+            jnp.asarray(p3[2].ravel()), jnp.int32(rem), B * K, Wp,
+            stride, True, hmod=Hsp))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_framed_segsum_matches_per_frame(rng):
     """framed_segment_sum_pallas == B independent segment_sum_pallas calls."""
     from fast_slic_tpu.pallas.segsum_tpu import (framed_segment_sum_pallas,
@@ -318,7 +351,7 @@ def test_framed_segsum_matches_per_frame(rng):
 
 
 def test_assign_occ_skip_equivalence(rng, monkeypatch):
-    """The dynamic slot-occupancy bound (assign_tpu._occupancy) must be
+    """The dynamic slot-occupancy bound (assign_tpu._occupancy_strips) must be
     output-invariant: skipped slots are empty in every cell and can never
     win a pixel.  A/B the same pass with the bound disabled."""
     H, W, K = 94, 130, 48
