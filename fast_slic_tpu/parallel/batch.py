@@ -1,20 +1,28 @@
 """Batched (video) SLIC over a device mesh.
 
 ``BatchedSlic`` runs the full iterate pipeline over a batch of frames with
-ONE host dispatch per batch.  Two device-side batch modes:
+ONE host dispatch per batch.  Three device-side batch modes:
 
 * ``"map"`` (default): frames run sequentially on-device through the exact
   single-frame program via ``lax.map`` — zero dispatch between frames,
   every Pallas kernel at its full single-frame grid, bit-identical to the
   single-frame ``Slic`` path for every variant.  (A ``vmap`` over frames
   collapses Pallas throughput ~30x; sequential mapping does not.)
+* ``"stack"``: ONE natively batched program — frame-grid Pallas kernels,
+  [B, K] glue, one B*K-bin segment sum, one frame-aware CCA pass
+  (parallel/stack.py), per-frame outputs bit-identical to map.  Built to
+  amortize per-frame serial floors; measured SLOWER than map at 720p
+  (round 5: 13.3 vs 10.35 ms/frame at B=32 — inside one XLA program the
+  per-frame serial regions are latency/bandwidth-proportional, not fixed
+  dispatch costs, so the batch axis buys nothing while B-coupled arrays
+  lose band tightness; NOTES.md round 5).  Kept for workloads of many
+  SMALL frames, where map mode's per-frame kernel grids degenerate.
 * ``"canvas"``: frames stack into one tall canvas with spacer rows
-  (parallel/canvas.py), processed as a single image.  Kept for workloads
-  where many tiny frames make per-frame kernel grids degenerate; at 720p
-  it costs MORE per pixel than map mode (K and max_components couple
-  across frames, scaling the candidate build and CCA bookkeeping), and it
-  is only available for the quantized-centroid variants
-  (standard/real/real_l2 — float centroid means are not shift-invariant).
+  (parallel/canvas.py), processed as a single image.  Superseded by
+  "stack" (no spacer waste, no coordinate shifting, all variants except
+  LSC); kept for parity coverage.  Only available for the
+  quantized-centroid variants (standard/real/real_l2 — float centroid
+  means are not shift-invariant).
 
 On a multi-device mesh the batch is split over the ``data`` axis with
 ``shard_map``; frames are independent, so the step needs no collectives
