@@ -467,10 +467,9 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
 
     rem_i = rem.astype(jnp.int32)
     idx = _strip_gather_idx(n_strips, rows, stride, rem_i, S, GH, CR, spf)
-    # cell_fields arrives pre-stacked ([6, GH, C*GW]); LSC centroid
-    # channels append with one concat
-    stack = (jnp.concatenate([cell_fields, feat_fields], 0)
-             if feat_fields is not None else cell_fields)
+    all_fields = tuple(cell_fields) + (tuple(feat_fields) if feat_fields
+                                       else ())
+    stack = jnp.stack(all_fields, 0)
     strips = stack[:, idx, :]                 # [nf, n_strips, CR, C*GW]
 
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
@@ -536,7 +535,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     # rows of C*GW, a few thousand rows — NOT a pixel-scale gather)
     rem_i = rem.astype(jnp.int32)
     idx = _strip_gather_idx(n_strips, rows, stride, rem_i, S, GH, CR, spf)
-    stack = cell_fields                               # [6, B*GH, C*GW]
+    stack = jnp.stack(cell_fields, 0)                 # [6, B*GH, C*GW]
     strips = stack[:, idx, :]                         # [7, n_strips, CR, C*GW]
 
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
@@ -568,14 +567,16 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
 
 
 def prepare_feat_fields(cand, cent):
-    """cand [GH, GW, C] int32, cent [K, F] f32 -> f32 [F, GH, C*GW]
-    pre-stacked LSC centroid feature channels (laid out like
-    prepare_cell_fields)."""
+    """cand [GH, GW, C] int32, cent [K, F] f32 -> F f32 [GH, C*GW] arrays
+    (LSC centroid feature channels, laid out like prepare_cell_fields)."""
     GH, GW, C = cand.shape
-    F = cent.shape[-1]
     safe = jnp.maximum(jnp.swapaxes(cand, 1, 2), 0)   # [GH, C, GW]
     cdata = cent[safe]                                # [GH, C, GW, F]
-    return jnp.moveaxis(cdata, -1, 0).reshape(F, GH, C * GW)
+
+    def fold(a):
+        return a.reshape(GH, C * GW).astype(jnp.float32)
+
+    return tuple(fold(cdata[..., i]) for i in range(cent.shape[-1]))
 
 
 _INVALID_Y = 65000.0  # empty-slot y: defeats every |di| <= S window test
@@ -586,8 +587,8 @@ _INVALID_Y = 65000.0  # empty-slot y: defeats every |di| <= S window test
 def prepare_cell_fields_batched(cand, table):
     """Frame-grid batch variant of :func:`prepare_cell_fields`:
     cand [B, GH, GW, C] int32 (frame-local ids), table [B, K, 5] f32 ->
-    f32 [6, B*GH, C*GW] pre-stacked fields (the layout assign_pallas_*
-    expects with frames=B).  The id field carries FRAME-LOCAL ids."""
+    6 f32 [B*GH, C*GW] stacked fields (the layout assign_pallas_* expects
+    with frames=B).  The id field carries FRAME-LOCAL cluster ids."""
     B, GH, GW, C = cand.shape
     K = table.shape[1]
     cand_t = jnp.swapaxes(cand, 2, 3)              # [B, GH, C, GW]
@@ -595,43 +596,50 @@ def prepare_cell_fields_batched(cand, table):
     offs = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None, None]
     cdata = table.reshape(B * K, 5)[safe + offs]   # [B, GH, C, GW, 5]
     valid = cand_t >= 0
-    chans = jnp.moveaxis(cdata, -1, 0)             # [5, B, GH, C, GW]
-    y = jnp.where(valid, chans[0], _INVALID_Y)[None]
-    ids = cand_t.astype(jnp.float32)[None]
-    return jnp.concatenate([y, chans[1:5], ids], axis=0
-                           ).reshape(6, B * GH, C * GW)
+
+    def fold(a):
+        return a.reshape(B * GH, C * GW).astype(jnp.float32)
+
+    fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
+    fields += [fold(cdata[..., i]) for i in range(1, 5)]
+    fields.append(fold(cand_t.astype(jnp.float32)))
+    return tuple(fields)
 
 
 def prepare_feat_fields_batched(cand, cent):
     """Frame-grid batch variant of :func:`prepare_feat_fields`:
-    cand [B, GH, GW, C], cent [B, K, F] -> f32 [F, B*GH, C*GW]."""
+    cand [B, GH, GW, C], cent [B, K, F] -> F f32 [B*GH, C*GW] arrays."""
     B, GH, GW, C = cand.shape
     K, F = cent.shape[1], cent.shape[-1]
     safe = jnp.maximum(jnp.swapaxes(cand, 2, 3), 0)
     offs = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None, None]
     cdata = cent.reshape(B * K, F)[safe + offs]
-    return jnp.moveaxis(cdata, -1, 0).reshape(F, B * GH, C * GW)
+
+    def fold(a):
+        return a.reshape(B * GH, C * GW).astype(jnp.float32)
+
+    return tuple(fold(cdata[..., i]) for i in range(F))
 
 
 def prepare_cell_fields(cand, table):
-    """cand [GH, GW, C] int32, table [K, 5] f32 -> f32 [6, GH, C*GW]
-    PRE-STACKED fields (y, x, r, g, b, id).  Empty slots carry
-    y = _INVALID_Y, which fails the spatial window test in every variant —
-    no separate validity field (one fewer expansion matmul + compare per
-    candidate slot in the kernels).
+    """cand [GH, GW, C] int32, table [K, 5] f32 -> 6 f32 [GH, C*GW] arrays
+    (y, x, r, g, b, id).  Empty slots carry y = _INVALID_Y, which fails the
+    spatial window test in every variant — no separate validity field (one
+    fewer expansion matmul + compare per candidate slot in the kernels).
 
-    Built as one transpose + one concat (instead of 6 per-channel folds +
-    a downstream 6-array stack): the [K]-scale data-movement ops cost a
-    ~33 us serial-region floor EACH inside composed programs (NOTES.md),
-    and this runs every iteration."""
+    The candidate array is transposed ONCE before the gather so every
+    per-channel fold is a free reshape instead of its own swapaxes."""
     GH, GW, C = cand.shape
     cand_t = jnp.swapaxes(cand, 1, 2)           # [GH, C, GW]
     safe = jnp.maximum(cand_t, 0)
     cdata = table[safe]                         # [GH, C, GW, 5]
     valid = cand_t >= 0
-    chans = jnp.moveaxis(cdata, -1, 0)          # [5, GH, C, GW]
-    y = jnp.where(valid, chans[0], _INVALID_Y)[None]
-    ids = cand_t.astype(jnp.float32)[None]
-    return jnp.concatenate([y, chans[1:5], ids], axis=0
-                           ).reshape(6, GH, C * GW)
+
+    def fold(a):
+        return a.reshape(GH, C * GW).astype(jnp.float32)
+
+    fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
+    fields += [fold(cdata[..., i]) for i in range(1, 5)]
+    fields.append(fold(cand_t.astype(jnp.float32)))
+    return tuple(fields)
 

@@ -104,7 +104,8 @@ def main():
                                                  prepare_cell_fields)
     GH, GW = pipeline.cell_grid_shape(cfg)
     table = jnp.stack([st2.y, st2.x, st2.r, st2.g, st2.b], axis=1)
-    fields = jnp.asarray(np.asarray(prepare_cell_fields(cand, table)))
+    fields = tuple(jnp.asarray(np.asarray(f))
+                   for f in prepare_cell_fields(cand, table))
     coef = jnp.asarray(sc.coef, jnp.float32)
     for stride, planes_in in ((3, p3_sub), (1, p3)):
         old = jnp.full(planes_in.shape[1:], UNASSIGNED, jnp.int32)
