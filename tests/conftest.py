@@ -34,7 +34,7 @@ import pytest
 # multi-minute outliers (LSC golden: interpret-mode Pallas feature kernels;
 # the CCA store-variant A/B) stay full-suite-only.
 _QUICK_FILES = {"test_golden.py", "test_cca.py", "test_api.py",
-                "test_seeding.py", "test_cielab.py", "test_stack.py"}
+                "test_seeding.py", "test_cielab.py"}
 _QUICK_EXCLUDE = {"test_golden_exact[lsc_k256]",
                   "test_pallas_strip_store_variants_identical"}
 
