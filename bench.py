@@ -491,8 +491,12 @@ def main():
              lambda: bench_config3(arch, max(5, reps // 2))),
             ("cfg4_1080p_lsc_ms",
              lambda: bench_config4(arch, max(5, reps // 2))),
+            # reps matter here: the steady-state CRF cycle is ONE queued
+            # dispatch (~1.7 ms device), so small rep counts mostly
+            # measure the final sync's round-trip amortization (NOTES.md
+            # r4b: 1.70 ms/cycle at reps=20 vs 6.26 at reps=5)
             ("cfg5_crf_T5_K1600_C21_ms",
-             lambda: bench_config5(max(3, reps // 4))),
+             lambda: bench_config5(max(10, reps // 2))),
         ):
             wait_healthy(key)
             try:
