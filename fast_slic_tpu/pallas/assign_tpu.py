@@ -56,10 +56,23 @@ def _cparams(interpret: bool):
             else pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM_BYTES))
 
 
-def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
-                   cb_ref, cid_ref, p0_ref, p1_ref, p2_ref, old_ref,
-                   out_a_ref, out_d_ref, m_ref, a_ref, *, S, GH, GW, C, CR,
-                   rows, stride, W_real, H_real, manhattan, spf=0):
+def _assign_kernel(scal_ref, occ_ref, *refs, S, GH, GW, C, CR,
+                   rows, stride, W_real, H_real, manhattan, spf=0,
+                   merged=False, yx_off=0):
+    # merged=True: the y/x candidate fields arrive as ONE integer field
+    # yx = trunc(y)*2048 + trunc(x) (< 2^24 — the kernel only ever uses
+    # int-cast centers in this variant, so pre-truncating is exact), which
+    # expands in a 3-byte split (3 matmuls) instead of two 2-byte splits
+    # (4) — one fewer expansion matmul per strip AND per slot.
+    if merged:
+        (cyx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = refs[:5]
+        rest = refs[5:]
+    else:
+        (cy_ref, cx_ref, cr_ref, cg_ref, cb_ref, cid_ref) = refs[:6]
+        rest = refs[6:]
+    (p0_ref, p1_ref, p2_ref, old_ref, out_a_ref, out_d_ref, m_ref,
+     a_ref) = rest
+
     # spf > 0: frame-grid batch mode (parallel/stack.py) — the grid covers
     # B stacked frames of spf strips each; all row/cell math is frame-local.
     gi_abs = pl.program_id(0)
@@ -84,7 +97,7 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
 
     # selection matrices from iota compares.  All expansion matmuls run in
     # bf16 at full MXU rate; exactness holds because operands are split into
-    # byte halves (<= 255, bf16-exact) and each output has exactly one
+    # byte chunks (<= 255, bf16-exact) and each output has exactly one
     # nonzero term, accumulated in f32.
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, CR), 1)
@@ -95,13 +108,18 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (GW, Wp), 1)
     colsel = (j_iota // S == gc_iota).astype(jnp.bfloat16)
 
-    def rowx(ref, split):
-        """Row-expand a [1, CR, C*GW] field -> half pair(s) [rows, C*GW]."""
+    def rowx(ref, nparts):
+        """Row-expand a [1, CR, C*GW] field -> byte-chunk planes
+        [rows, C*GW] (nparts = 1, 2 or 3 chunks of <= 255)."""
         f = ref[0]
-        if split:
+        if nparts == 3:
+            hi = jnp.floor(f / 65536.0)
+            r1 = f - hi * 65536.0
+            mid = jnp.floor(r1 / 256.0)
+            parts = (hi, mid, r1 - mid * 256.0)
+        elif nparts == 2:
             fh = jnp.floor(f / 256.0)
-            fl = f - fh * 256.0
-            parts = (fh, fl)
+            parts = (fh, f - fh * 256.0)
         else:
             parts = (f,)
         return tuple(
@@ -109,8 +127,11 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
                         preferred_element_type=jnp.float32)
             for p in parts)
 
-    ey, ex = rowx(cy_ref, True), rowx(cx_ref, True)
-    er, eg, eb = (rowx(r, False) for r in (cr_ref, cg_ref, cb_ref))
+    if merged:
+        eyx = rowx(cyx_ref, 3)
+    else:
+        ey, ex = rowx(cy_ref, 2), rowx(cx_ref, 2)
+    er, eg, eb = (rowx(r, 1) for r in (cr_ref, cg_ref, cb_ref))
 
     ii = ((row_abs0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0))
           * stride + rem)
@@ -122,6 +143,10 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
                         colsel, preferred_element_type=jnp.float32)
             for p in parts
         ]
+        if len(outs) == 3:
+            return (outs[0].astype(jnp.int32) * 65536
+                    + outs[1].astype(jnp.int32) * 256
+                    + outs[2].astype(jnp.int32))
         if len(outs) == 2:
             return outs[0].astype(jnp.int32) * 256 + outs[1].astype(jnp.int32)
         return outs[0]
@@ -138,8 +163,15 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
     for s in range(C):
         @pl.when(s < occ)
         def _slot_body(s=s):
-            cy = lanex(ey, s)
-            cx = lanex(ex, s)
+            if merged:
+                cyx = lanex(eyx, s)
+                # y is stored offset by yx_off so spatially-sharded callers
+                # with slightly-negative local y still pack non-negatively
+                cy = (cyx >> 11) - yx_off
+                cx = cyx & 2047
+            else:
+                cy = lanex(ey, s)
+                cx = lanex(ex, s)
             di = ii - cy
             dj = jj - cx
             inwin = (jnp.abs(di) <= S) & (jnp.abs(dj) <= S)
@@ -168,7 +200,7 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
     slot = m & 0x7F
 
     # winner slot -> cluster id (select chain over expanded id tables)
-    eid = rowx(cid_ref, True)
+    eid = rowx(cid_ref, 2)
     a_ref[:] = jnp.full((rows, Wp), UNASSIGNED, jnp.int32)
     for s in range(C):
         @pl.when(s < occ)
@@ -187,6 +219,11 @@ def _assign_kernel(scal_ref, occ_ref, cy_ref, cx_ref, cr_ref, cg_ref,
 # 10.56 vs 10.68 ms full-iterate) and bit-exact by construction; tests flip
 # this module flag to assert the A/B equivalence.
 OCC_BOUND = True
+
+# Merged-yx candidate layout for the standard kernel (see
+# prepare_cell_fields): bit-exact by construction; tests flip this flag to
+# assert the A/B equivalence against the classic 6-field layout.
+MERGE_YX = True
 
 
 def _occupancy_strips(id_strips, C):
@@ -508,10 +545,10 @@ def assign_pallas_float(planes3, feat_planes, old_assign, cell_fields,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "GH", "GW", "C", "H", "W", "stride", "manhattan",
-                     "interpret", "rows", "frames"))
+                     "interpret", "rows", "frames", "yx_off"))
 def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                            stride, *, S, GH, GW, C, H, W, manhattan,
-                           interpret, rows=64, frames=1):
+                           interpret, rows=64, frames=1, yx_off=0):
     """Run the fused assign pass.
 
     planes3: int32 [3, Hp, Wp] padded quad planes (Hp = strips*64, Wp = GW*S
@@ -535,24 +572,27 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
     # rows of C*GW, a few thousand rows — NOT a pixel-scale gather)
     rem_i = rem.astype(jnp.int32)
     idx = _strip_gather_idx(n_strips, rows, stride, rem_i, S, GH, CR, spf)
-    stack = jnp.stack(cell_fields, 0)                 # [6, B*GH, C*GW]
-    strips = stack[:, idx, :]                         # [7, n_strips, CR, C*GW]
+    nf = len(cell_fields)        # 6 classic (y,x,r,g,b,id) / 5 merged-yx
+    merged = nf == 5
+    stack = jnp.stack(cell_fields, 0)                 # [nf, B*GH, C*GW]
+    strips = stack[:, idx, :]                         # [nf, n_strips, CR, C*GW]
 
     strip = pl.BlockSpec((rows, Wp), lambda i: (i, 0))
     cells = pl.BlockSpec((1, CR, C * GW), lambda i: (i, 0, 0))
     scal = jnp.stack([coef.astype(jnp.float32),
                       rem_i.astype(jnp.float32)])
-    occ_s = _occupancy_strips(strips[5], C)
+    occ_s = _occupancy_strips(strips[nf - 1], C)
 
     kernel = functools.partial(
         _assign_kernel, S=S, GH=GH, GW=GW, C=C, CR=CR, rows=rows,
-        stride=stride, W_real=W, H_real=H, manhattan=manhattan, spf=spf)
+        stride=stride, W_real=W, H_real=H, manhattan=manhattan, spf=spf,
+        merged=merged, yx_off=yx_off)
     out_a, out_d = pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [cells] * 6 +
+                 [cells] * nf +
                  [strip, strip, strip, strip],
         out_specs=(strip, strip),
         out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
@@ -561,7 +601,7 @@ def assign_pallas_standard(planes3, old_assign, cell_fields, coef, rem,
                         pltpu.VMEM((rows, Wp), jnp.int32)],
         interpret=interpret,
         compiler_params=_cparams(interpret),
-    )(scal, occ_s, *(strips[i] for i in range(6)),
+    )(scal, occ_s, *(strips[i] for i in range(nf)),
       planes3[0], planes3[1], planes3[2], old_assign)
     return out_a, out_d
 
@@ -621,14 +661,21 @@ def prepare_feat_fields_batched(cand, cent):
     return tuple(fold(cdata[..., i]) for i in range(F))
 
 
-def prepare_cell_fields(cand, table):
+def prepare_cell_fields(cand, table, yx_sentinel=None):
     """cand [GH, GW, C] int32, table [K, 5] f32 -> 6 f32 [GH, C*GW] arrays
-    (y, x, r, g, b, id).  Empty slots carry y = _INVALID_Y, which fails the
-    spatial window test in every variant — no separate validity field (one
-    fewer expansion matmul + compare per candidate slot in the kernels).
+    (y, x, r, g, b, id) — or, with ``yx_sentinel = (y_off, sentinel)``
+    set, 5 arrays (yx, r, g, b, id) where
+    yx = (trunc(y) + y_off)*2048 + trunc(x) (< 2^24; y_off = S+2 keeps
+    slightly-negative shard-local y packable) and empty slots carry
+    ``sentinel`` = (H + 2S + 2 + y_off)*2048, whose unpacked row fails the
+    |di| <= S window test for every real row.  The merged
+    layout serves the STANDARD kernel only (it exclusively uses int-cast
+    centers, so pre-truncation is exact) and saves one expansion matmul
+    per strip and per slot (3-byte split vs two 2-byte splits).
 
-    The candidate array is transposed ONCE before the gather so every
-    per-channel fold is a free reshape instead of its own swapaxes."""
+    In the classic layout empty slots carry y = _INVALID_Y, which fails
+    the spatial window test in every variant — no separate validity field
+    (one fewer expansion matmul + compare per candidate slot)."""
     GH, GW, C = cand.shape
     cand_t = jnp.swapaxes(cand, 1, 2)           # [GH, C, GW]
     safe = jnp.maximum(cand_t, 0)
@@ -637,6 +684,15 @@ def prepare_cell_fields(cand, table):
 
     def fold(a):
         return a.reshape(GH, C * GW).astype(jnp.float32)
+
+    if yx_sentinel is not None:
+        y_off, sent = yx_sentinel
+        yx = ((jnp.trunc(cdata[..., 0]) + float(y_off)) * 2048.0
+              + jnp.trunc(cdata[..., 1]))
+        fields = [fold(jnp.where(valid, yx, float(sent)))]
+        fields += [fold(cdata[..., i]) for i in range(2, 5)]
+        fields.append(fold(cand_t.astype(jnp.float32)))
+        return tuple(fields)
 
     fields = [fold(jnp.where(valid, cdata[..., 0], _INVALID_Y))]
     fields += [fold(cdata[..., i]) for i in range(1, 5)]

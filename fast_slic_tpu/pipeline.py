@@ -494,20 +494,34 @@ def run_assign_kernel(p3, fp3, old_p, st, cand, cfg, coef, rem, stride,
     p3 int32 [3, Hp', Wp] (full or subsampled-row layout), fp3 LSC feature
     planes or None, old_p int32 [Hp', Wp].  Returns (assignment, min_dists)
     at [Hp', Wp]."""
-    from .pallas.assign_tpu import (assign_pallas_standard,
+    from .pallas.assign_tpu import (MERGE_YX, assign_pallas_standard,
                                     assign_pallas_float,
                                     prepare_cell_fields,
                                     prepare_feat_fields)
     GH, GW = cell_grid_shape(cfg)
     table = jnp.stack([st.y, st.x, st.r, st.g, st.b], axis=1)
-    fields = prepare_cell_fields(cand, table)
+    # merged-yx candidate layout (standard variant only — it exclusively
+    # uses int-cast centers): one field yx = (trunc(y)+S+2)*2048 + trunc(x)
+    # expands in a 3-byte split instead of two 2-byte splits.  The +S+2
+    # offset keeps spatially-sharded callers' slightly-negative local y
+    # packable; guards keep the packed value < 2^24 and x in 11 bits.
+    y_off = cfg.S + 2
+    merge_ok = (MERGE_YX and _use_pallas_assign(cfg) and not cfg.is_canvas
+                and (cfg.H + 2 * cfg.S + 2 + y_off) < 2048
+                and cfg.W < 2048)
+    if merge_ok:
+        sentinel = (cfg.H + 2 * cfg.S + 2 + y_off) * 2048
+        fields = prepare_cell_fields(cand, table, (y_off, sentinel))
+    else:
+        fields = prepare_cell_fields(cand, table)
     interp = jax.default_backend() != "tpu"
     common = dict(S=cfg.S, GH=GH, GW=GW, C=cand.shape[-1], H=cfg.H, W=cfg.W,
                   manhattan=cfg.manhattan_spatial_dist, interpret=interp)
     if _use_pallas_assign(cfg):
         return assign_pallas_standard(
             p3, old_p, fields, jnp.asarray(coef, jnp.float32),
-            jnp.asarray(rem, jnp.int32), stride, **common)
+            jnp.asarray(rem, jnp.int32), stride,
+            yx_off=(y_off if merge_ok else 0), **common)
     feat_fields = (prepare_feat_fields(cand, lsc_cent)
                    if cfg.variant == VARIANT_LSC else None)
     return assign_pallas_float(

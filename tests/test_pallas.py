@@ -281,6 +281,36 @@ def test_float_segsum_pallas_matches_scatter(rng):
                                atol=1e-4)
 
 
+def test_assign_merge_yx_equivalence(rng, monkeypatch):
+    """The merged-yx candidate layout must be output-identical to the
+    classic 6-field layout, including fractional warm-start centers (the
+    kernel only ever uses int-cast centers in the standard variant, so
+    pre-truncating the packed field is exact)."""
+    from fast_slic_tpu.pallas import assign_tpu
+    H, W, K = 94, 130, 48
+    cfg_x, cfg_p, planes, st, cand, scal = _setup_assign(
+        rng, H, W, K, convert_to_lab=False, debug_mode=True)
+    # fractional + slightly-negative centers (the shardmap local-coordinate
+    # case) — int-cast/trunc must agree across layouts
+    st = st.__class__(y=st.y + 0.37 - 2.0, x=st.x + 0.61, r=st.r, g=st.g,
+                      b=st.b, num_members=st.num_members,
+                      is_active=st.is_active, is_updatable=st.is_updatable)
+    cand, _ = pipeline.build_candidates(st.y, st.x, st.is_active, cfg_x)
+    old = jnp.full([H, W], UNASSIGNED, jnp.int32)
+    p3 = pipeline._pad_planes_for_pallas(planes, cfg_p)
+
+    def run():
+        got = pipeline.assign_dispatch(planes, p3, st, cand, cfg_p,
+                                       scal.coef, old, 1, 3)
+        return np.asarray(got.assignment), np.asarray(got.min_dists)
+
+    a_m, d_m = run()
+    monkeypatch.setattr(assign_tpu, "MERGE_YX", False)
+    a_c, d_c = run()
+    np.testing.assert_array_equal(a_m, a_c)
+    np.testing.assert_array_equal(d_m, d_c)
+
+
 def test_float_segsum_wrow_fusion_matches_premultiplied(rng):
     """The in-kernel weight multiply (wrow) must be bit-identical to
     feeding pre-multiplied values (mask is 0/1, so (f*mask)*(w*mask) ==
