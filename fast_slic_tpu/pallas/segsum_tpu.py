@@ -261,15 +261,20 @@ def _update_padded_kernel(scal_ref, a_ref, p0_ref, p1_ref, p2_ref,
     "hmod"))
 def slic_update_padded_pallas(a_pad, p3_pad, rem, off, num_segments: int,
                               Wp: int, W_real: int, Hs: int, stride: int,
-                              interpret: bool, tile: int = 4096,
+                              interpret: bool, tile: int = 0,
                               hmod: int = 0):
     """Update accumulation from padded buffers: a_pad int32 [Hsp, Wp] (the
     assign kernel's output), p3_pad int32 [3, Hsp, Wp] (the padded plane
     stack).  Hsp*Wp must be a multiple of ``tile`` (the 64-row strip
-    padding makes it so).  Returns int32 [6, num_segments + 1].
+    padding guarantees a multiple of 8192).  tile=0 auto-selects the
+    largest dividing tile (bigger tiles amortize the per-grid-step Pallas
+    overhead: 4096/8192/16384 measured 1.20/1.14/1.13 ms on the chained
+    720p A/B).  Returns int32 [6, num_segments + 1].
     """
     Hsp = a_pad.shape[0]
     N = Hsp * Wp
+    if tile == 0:
+        tile = 16384 if N % 16384 == 0 else 8192
     assert N % tile == 0, (Hsp, Wp, tile)
     n_tiles = N // tile
     Kp = -(-(num_segments + 1) // _LO) * _LO
